@@ -1,0 +1,123 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen — no UDFs), each
+with an exact ANSI-SQL mirror so the DuckDB oracle can verify them:
+
+- normalization + whitespace tokenization,
+- token statistics / quality scoring (length, punctuation, stopword ratios),
+- n-gram shingling (word n-grams for Jaccard / MinHash dedup),
+- document fingerprinting (md5 of the normalized text),
+- n-gram-heuristic language ID (stopword hit counts, argmax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "das", "ist", "nicht"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower → strip non-alnum → collapse whitespace → trim."""
+    col = F.col(col) if isinstance(col, str) else col
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    return F.trim(t)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[^A-Za-z0-9 ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    some (but not all) stopwords, sane token lengths."""
+    nt = token_count(col).cast("double")
+    len_score = F.least(nt / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3))
+    atl = avg_token_len(col)
+    atl_score = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * 0.4 + punct_pen * 0.2 + sw_score * 0.2 + atl_score * 0.2)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts over the token multiset."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by marker hits; 'und' when no marker hits at all.
+    Ties break by the fixed language order of LANG_MARKERS (same CASE chain
+    is trivially mirrored in the oracle SQL)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang, s in scores.items():
+        expr = expr.when(s == best, F.lit(lang))
+    return expr

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile: one JVM, ``local[N]`` threads. The same settings scale
+to a real cluster — AQE handles runtime coalescing/skew, shuffle partition
+count is a starting point that AQE re-plans, and the UTC session timezone
+pins timestamp semantics to the DuckDB oracle's UTC-naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vul_dbgen_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` overrides parallelism (driver harness contract).
+    On a real cluster the master/memory settings come from spark-submit and
+    everything here except local[] still applies.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # local mode: ~cores, not the 200 default (right for 100TB clusters,
+        # wrong for one box). AQE coalesces further at runtime.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
