@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from vul_dbgen_spark.queries.catalog import REGISTRY
+    from vul_dbgen_spark.session import get_spark
+
+    spark = get_spark("vul_dbgen_spark_bench")
+    # warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-call classloading
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in REGISTRY.items():
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

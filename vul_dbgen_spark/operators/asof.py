@@ -1,0 +1,63 @@
+"""As-of join — an operator Spark lacks natively.
+
+Implemented as a composition of built-in ops (no UDFs): tag and union both
+sides, then one window pass per key carries the most recent right-side
+payload forward onto each left row. Cost: ONE shuffle on the join key + a
+partition-local sort — linear in input, no range-explosion, safe at 100 TB
+(vs. the naive ``r.ts <= l.ts`` theta-join which is quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each LEFT row, attach the RIGHT row with the greatest
+    ``right_ts <= left_ts`` (``<`` when ``inclusive=False``). Ties on
+    right_ts break to the greatest ``payload_cols[0]`` (must be unique per
+    right row) so the result is deterministic. Unmatched left rows keep
+    nulls. Output: all left columns + payload_cols.
+    """
+    tie = payload_cols[0]
+    right_types = dict(right.dtypes)
+
+    probe = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+        *left.columns,
+        *[F.lit(None).cast(right_types[c]).alias(f"__p_{c}") for c in payload_cols],
+    )
+    build = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+
+    # Inclusive: build rows sort before probe rows at equal __t, so an
+    # exactly-simultaneous right row is visible. Exclusive: probe first.
+    is_probe_order = F.col("__is_probe").asc() if inclusive else F.col("__is_probe").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), is_probe_order, F.col(f"__p_{tie}").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = probe.unionByName(build).withColumns(
+        {f"__c_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w) for c in payload_cols}
+    )
+    return out.filter("__is_probe = 1").select(
+        *left.columns, *[F.col(f"__c_{c}").alias(c) for c in payload_cols]
+    )

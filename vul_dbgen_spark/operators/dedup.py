@@ -1,0 +1,178 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All shapes are shuffle-minimal and skew-aware:
+
+- exact:      one hash-groupBy on a fingerprint (md5 of normalized text).
+- ngram Jaccard: explode distinct shingles → self-join on shingle →
+              per-pair intersection counts → Jaccard; hot shingles are
+              droppable via a document-frequency cap (stopword shingles
+              produce quadratic pair blowup at scale).
+- MinHash+LSH: per-doc signature = min over shingle hashes per band salt
+              (md5-based, engine-independent and deterministic); candidate
+              pairs only within equal LSH band buckets — the scale path
+              that avoids the all-pairs join entirely.
+- SimHash:    64-bit weighted fingerprint from shingle md5 bits; near-dups
+              = equal 16-bit bands → hamming check.
+- embedding near-dup: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_ngrams
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates by normalized-text fingerprint.
+
+    Returns one row per fingerprint: canonical (min) id, group size.
+    Single hash-aggregation; at scale the fingerprint is computed map-side
+    and only (fp, id) shuffles.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("grams")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity >= threshold.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the self-join — the standard guard against quadratic blowup on
+    stopword shingles at 100 TB scale (documented-droppable, off by
+    default so the DuckDB oracle can mirror exactly).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.select("doc", F.size("grams").alias("n_grams"))
+    ex = sh.select("doc", F.explode("grams").alias("gram"))
+    if max_shingle_df is not None:
+        hot = ex.groupBy("gram").count().filter(F.col("count") > max_shingle_df)
+        ex = ex.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "gram")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_grams": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_grams": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature columns ``mh0..mh{k-1}``.
+
+    Hash family = md5 over salted shingle strings (deterministic across
+    engines — the DuckDB oracle reproduces it bit-for-bit; no Python UDF,
+    everything stays in codegen). Docs with no shingles get null mins.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+
+    def salted(j: int):
+        # one-arg closure: a two-parameter lambda would be (element, index)
+        salt = f"{j}:"
+        return lambda g: F.md5(F.concat(F.lit(salt), g))
+
+    sig = {
+        f"mh{j}": F.array_min(F.transform(F.col("grams"), salted(j)))
+        for j in range(num_hashes)
+    }
+    return sh.withColumns(sig).drop("grams").withColumnRenamed("doc", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs that agree on at least one LSH band.
+
+    Bands of ``band_size`` signature slots are concatenated and used as
+    join buckets — the join fans out only within identical-band groups, so
+    the worst case is bounded by true near-duplicate clusters, not |docs|².
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{j}") for j in range(b, b + band_size)])
+        .alias(f"band{b // band_size}")
+        for b in range(0, num_hashes, band_size)
+    ]
+    banded = sig.select(F.col(id_col).alias("doc"), *bands)
+    stacked = banded.selectExpr(
+        "doc",
+        "stack({}, {}) as (band_idx, band)".format(
+            num_hashes // band_size,
+            ", ".join(
+                f"'{i}', band{i}" for i in range(num_hashes // band_size)
+            ),
+        ),
+    )
+    return (
+        stacked.alias("a")
+        .join(stacked.alias("b"), ["band_idx", "band"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 2, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint of the shingle set (unweighted, 60 bits).
+
+    Bit i of the fingerprint = majority vote of bit i across shingle
+    md5-derived hash values (first 15 hex chars -> 60 bits, so the value
+    stays exactly representable in a signed 64-bit long on every engine).
+    Pure column expressions: per-bit vote = ±1 fold via aggregate().
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    h = F.transform(
+        F.col("grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("decimal(20,0)").cast("long"),
+    )
+
+    def vote(i: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    votes = [F.aggregate(h, F.lit(0), vote(i)) for i in range(bits)]
+    fp = None
+    for i, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sh.select(F.col("doc").alias(id_col), fp.alias("simhash"))

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine` — pure column expression (zip_with + aggregate), stays
+  JVM-side; doubles throughout so the DuckDB oracle matches bit-for-bit
+  given the same summation order.
+- :func:`brute_force_topk` — exact baseline: query×corpus join, windowed
+  top-k. Fine for small query sets; the corpus side streams.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH buckets
+  (deterministic seeded planes), candidates only within matching buckets,
+  then exact re-rank. Misses are possible (approximate by design).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The (small) query side is broadcast; the corpus is scanned once with
+    the cosine computed in codegen — no shuffle until the final per-query
+    top-k window over |queries|·k candidates.
+    """
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (LCG, no numpy needed
+    at plan-build time; executed driver-side once)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    vals = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: sign-of-projection LSH bucket join + exact
+    re-rank within buckets. Bucket = n_planes-bit signature; at scale the
+    equi-join on bucket replaces the cross join."""
+
+    def signature(vec_col: str):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(x) for x in _plane(dim, p + 1)])
+            bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"), signature(query_vec).alias("sig")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"), signature(corpus_vec).alias("sig")
+    )
+    scored = (
+        q.join(c, "sig")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (exact
+    all-pairs baseline; swap in lsh buckets for the 100 TB path)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,983 @@
+"""Graded query catalog over the driver's synthetic star schema.
+
+Each entry re-expresses an operator family from SURVEY.md §2 (or a
+beyond-reference LLM-pipeline operator) on the testdata tables, paired
+with an exactly-mirrored DuckDB oracle SQL string. Column names, types and
+rounding are aligned on both sides — the driver hash-compares values.
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (2dp money, 4dp ratios) on BOTH sides;
+- counts/sizes are BIGINT on both sides;
+- deterministic tie-breaks everywhere a window/limit could tie.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the driver may hand us a session without our tuned configs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; convert losslessly (the
+        # driver data is microsecond-aligned) without leaving the JVM.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, bench: bool = False, tags: list[str] | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench, tags=tags or [])
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core (scan → filter → agg → join → top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=["agg", "A1-analog"],
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan-side aggregation with map-side partials.
+    Filter + column pruning push to the parquet scan; one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 10
+    """,
+    bench=True,
+    tags=["join", "topk"],
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (broadcast), fact join, top-k
+    with deterministic tie-break."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+    tags=["join", "broadcast", "J1-analog"],
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dimension broadcast, single
+    shuffle for the final group-by."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference dataflow analogs (J/A/F/K operator families)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_enrich_coalesce",
+    """
+    SELECT o.o_orderkey,
+           coalesce(c.c_mktsegment, 'UNKNOWN')        AS segment,
+           coalesce(c.c_name, 'unknown')              AS cust_name,
+           coalesce(c.c_nationkey, -1)                AS nationkey,
+           round(coalesce(nullif(o.o_totalprice, 0.0), c.c_acctbal, 0.0), 2) AS score
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=["J1", "J2", "broadcast-enrich"],
+)
+def j1_enrich_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NVD-enrichment shape (updater.go:335-552): fact LEFT JOIN broadcast
+    dimension, missing fields coalesced feed-value-else-meta-value."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.coalesce("c_name", F.lit("unknown")).alias("cust_name"),
+        F.coalesce("c_nationkey", F.lit(-1)).alias("nationkey"),
+        F.round(
+            F.coalesce(F.nullif("o_totalprice", F.lit(0.0)), F.col("c_acctbal"), F.lit(0.0)), 2
+        ).alias("score"),
+    )
+
+
+@register(
+    "j4_anti_join_culling",
+    """
+    SELECT p.p_brand, count(*) AS n_unsold
+    FROM part p
+    WHERE p.p_size > 40
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    GROUP BY p.p_brand
+    """,
+    tags=["J4", "anti-join"],
+)
+def j4_anti_join_culling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHSA-culling shape (rhel.go:367-402): drop facts covered by another
+    set — left ANTI join, then regroup."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_unsold"))
+    )
+
+
+@register(
+    "a1_regroup_order",
+    """
+    SELECT l_orderkey,
+           count(*)                    AS n_items,
+           count(DISTINCT l_partkey)   AS n_parts,
+           min(l_partkey)              AS min_part,
+           max(l_partkey)              AS max_part,
+           round(sum(l_quantity), 2)   AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=["A1", "regroup"],
+)
+def a1_regroup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespacing-regroup shape (updater.go:642-671): explode features,
+    re-key, re-aggregate per key."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "a6_merge_per_customer",
+    """
+    SELECT o_custkey,
+           count(*)                   AS n_orders,
+           min(o_orderdate)           AS first_order,
+           max(o_orderdate)           AS last_order,
+           round(sum(o_totalprice),2) AS total_spent,
+           min(o_orderpriority)       AS top_priority
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=["A6", "merge"],
+)
+def a6_merge_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-ELSA merge shape (oracle.go:269-341): same-key records merged
+    with min/max dates, deduped unions, first-non-empty fields."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.min("o_orderpriority").alias("top_priority"),
+        )
+    )
+
+
+@register(
+    "a9_keyed_upsert_latest",
+    """
+    SELECT user_id, event_id, event_type, value, ts FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    bench=True,
+    tags=["A9", "A10", "window"],
+)
+def a9_keyed_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-writer-wins upsert (memdb.go:288-316, apps.go:32-35) made
+    deterministic: row_number over explicit priority order."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+@register(
+    "f1_year_gate",
+    """
+    SELECT CAST(regexp_extract(name, '^[A-Z]+-(\\d{4})', 1) AS INT) AS year,
+           count(*) AS n
+    FROM (SELECT 'ORD-' || CAST(year(o_orderdate) AS VARCHAR) || '-'
+                 || CAST(o_orderkey AS VARCHAR) AS name FROM orders)
+    WHERE CAST(regexp_extract(name, '^[A-Z]+-(\\d{4})', 1) AS INT) >= 1998
+    GROUP BY 1
+    """,
+    tags=["F1", "regex"],
+)
+def f1_year_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVE-year cutoff (common/db.go:63-70): parse year out of the id
+    string, gate on FirstYear."""
+    o = load(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("ORD-"),
+            F.year("o_orderdate").cast("string"),
+            F.lit("-"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("name")
+    )
+    year = F.regexp_extract("name", r"^[A-Z]+-(\d{4})", 1).cast("int")
+    return (
+        o.select(year.alias("year"))
+        .filter(F.col("year") >= 1998)
+        .groupBy("year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f2_severity_gate",
+    """
+    SELECT severity, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (SELECT CASE event_type WHEN 'purchase' THEN 'Critical'
+                                 WHEN 'signup'   THEN 'High'
+                                 WHEN 'click'    THEN 'Medium'
+                                 WHEN 'view'     THEN 'Low'
+                                 ELSE 'Unknown' END AS severity, value
+          FROM events)
+    WHERE severity IN ('Critical','High','Medium','Low')
+    GROUP BY severity
+    """,
+    tags=["F2", "F8", "when-chain"],
+)
+def f2_severity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity normalization map + gate (F8 map tables + IgnoreSeverity
+    updater.go:35-37) as a when-chain and isin filter."""
+    sev = (
+        F.when(F.col("event_type") == "purchase", "Critical")
+        .when(F.col("event_type") == "signup", "High")
+        .when(F.col("event_type") == "click", "Medium")
+        .when(F.col("event_type") == "view", "Low")
+        .otherwise("Unknown")
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(sev.alias("severity"), "value")
+        .filter(F.col("severity").isin("Critical", "High", "Medium", "Low"))
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "f3_marker_filter",
+    """
+    SELECT lang, count(*) AS n_docs, round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+    FROM documents
+    WHERE NOT (lower(text) LIKE '%spark%' OR lower(text) LIKE '%vector%')
+    GROUP BY lang
+    """,
+    tags=["F3", "marker-filter"],
+)
+def f3_marker_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Withdrawn/rejected marker filter (updater/filter.go:5-19):
+    case-insensitive substring markers drop the record."""
+    low = F.lower(F.col("text"))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(~(low.contains("spark") | low.contains("vector")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "k1_bucket_split",
+    """
+    SELECT bucket, count(*) AS n, count(DISTINCT source) AS n_sources
+    FROM (SELECT CASE WHEN source LIKE '%1%' THEN 'b1'
+                      WHEN source LIKE '%2%' THEN 'b2'
+                      WHEN source LIKE '%3%' THEN 'b3'
+                      WHEN source LIKE '%4%' THEN 'b4'
+                      ELSE 'rest' END AS bucket, source
+          FROM documents)
+    GROUP BY bucket
+    """,
+    tags=["K1", "partition-route"],
+)
+def k1_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Namespace-substring bucket routing (memdb.go:82-99): first-match
+    when-chain, the partitionBy key derivation of the sink."""
+    b = (
+        F.when(F.col("source").contains("1"), "b1")
+        .when(F.col("source").contains("2"), "b2")
+        .when(F.col("source").contains("3"), "b3")
+        .when(F.col("source").contains("4"), "b4")
+        .otherwise("rest")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(b.alias("bucket"), "source")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("source").alias("n_sources"))
+    )
+
+
+@register(
+    "u1_union_dedup",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+          UNION
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION
+          SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY o_orderstatus
+    """,
+    tags=["set-ops", "union"],
+)
+def u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source union + dedup (updater.go:110-135 collect + set
+    semantics): unionByName then distinct."""
+    o = load(spark, sf_dir, "orders")
+    s1 = o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+    s2 = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    s3 = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        s1.unionByName(s2)
+        .unionByName(s3)
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "w1_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    bench=True,
+    tags=["window"],
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (engine surface beyond the reference —
+    SURVEY §2.6 notes the reference has none)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "w2_rollup_region",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                  JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=["rollup", "grouping-sets"],
+)
+def w2_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (engine surface: grouping sets / rollup /
+    cube)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "asof_order_before_event",
+    """
+    SELECT event_id, user_id, ts, o_orderkey AS matched_order,
+           round(o_totalprice, 2) AS matched_total
+    FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+    """,
+    bench=True,
+    tags=["asof-join", "custom-operator"],
+)
+def asof_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at or
+    before the event time. Spark side uses the union+window linear-cost
+    operator (operators/asof.py), not the quadratic theta-join the oracle
+    uses — same semantics, cluster-scalable."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("matched_order"),
+        F.round("o_totalprice", 2).alias("matched_total"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM (SELECT user_id, ts, value,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                    IS NULL THEN 1
+                               WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) > 3600 THEN 1
+                               ELSE 0 END AS is_new
+                FROM events))
+    GROUP BY user_id, session_id
+    """,
+    tags=["sessionization", "window"],
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative-sum session ids (the
+    batch equivalent of streaming session_window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev_ts").isNull(), 1)
+            .when(
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 3600,
+                1,
+            )
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+    tags=["pivot"],
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list so the plan is a single agg, no extra
+    distinct-values job)."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+_GRAMS3_SQL = (
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "for i in generate_series(1, len(toks) - 2)])"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+    tags=["dedup", "exact"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint hash-groupBy."""
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sizes AS (SELECT doc_id, len(grams) AS n_grams FROM grams),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.08
+    """,
+    bench=True,
+    tags=["dedup", "jaccard", "near-dup"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.08 (shingle self-join)."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.08
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks)
+    SELECT doc_id,
+           {sig_cols}
+    FROM grams
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    _minhash_oracle(8),
+    tags=["dedup", "minhash"],
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 hash family — engine-independent, fully
+    codegen, no UDF)."""
+    return minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    None,  # band-join candidates; verified against jaccard in pytest
+    tags=["dedup", "minhash", "lsh"],
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (bands of 2 over 8 minhashes) — the 100 TB path
+    that avoids the all-pairs join."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(toks, x -> len(x))) / len(toks) END, 4)
+             AS avg_tok_len,
+           round(CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE (len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                      / len(text) END, 4) AS punct_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it'], x)))
+                      / len(toks) END, 4) AS stop_ratio
+    FROM t
+    """,
+    tags=["text", "quality"],
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (token count, avg token length,
+    punctuation ratio, stopword ratio) — all codegen column expressions."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(TX.avg_token_len("text"), 4).alias("avg_tok_len"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stop_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for lang, words in TX.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in TX.LANG_MARKERS) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in TX.LANG_MARKERS:
+        case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    cols = ",\n           ".join(
+        f"CAST({score[lang]} AS BIGINT) AS s_{lang}" for lang in TX.LANG_MARKERS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           {cols},
+           {case} AS pred_lang
+    FROM t
+    """
+
+
+@register("text_langid", _langid_oracle(), tags=["text", "lang-id"])
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    fixed tie order."""
+    d = load(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (SELECT q.qid, c.vec_id AS cid,
+                      list_dot_product(q.qv, c.ve)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+               FROM q CROSS JOIN v c WHERE q.qid <> c.vec_id)
+    SELECT qid, cid, round(cos, 4) AS cos, rank FROM (
+      SELECT qid, cid, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+    tags=["similarity", "ann", "topk"],
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<10
+    (exact ANN baseline; lsh_bucket_topk is the approximate scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by design; recall asserted vs brute force in pytest
+    tags=["similarity", "ann", "lsh"],
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random-hyperplane signatures)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", dim=64, k=5)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    # 15 hex chars → 60-bit value via shifts (exact integer math)
+    hv = (
+        "CAST(list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT "
+        "<< (4 * (15 - i)) for i in generate_series(1, 15)]) AS BIGINT)"
+    )
+    vote = (
+        "CASE WHEN list_sum(list_transform(hvs, v -> CASE WHEN (v >> {b}) & 1 = 1 "
+        "THEN 1 ELSE -1 END)) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    fp = " + ".join(f"({vote.format(b=b)} << {b})" for b in range(bits))
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id,
+              list_distinct([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks) - 1)])
+                AS grams FROM toks),
+    hashes AS (SELECT doc_id,
+               list_transform(list_transform(grams, g -> substr(md5(g), 1, 15)), h -> {hv})
+                 AS hvs FROM grams)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM hashes
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(), tags=["dedup", "simhash"])
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints over word-2-gram shingles."""
+    return simhash64(load(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=["streaming", "tumbling-window"],
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation, driven to
+    completion with availableNow over the parquet source and a memory
+    sink — same result as the batch group-by the oracle runs."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory: stream the sf dir, glob one file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # ts arrives as long nanos (see load()); convert before windowing
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "stream_tumbling_counts_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# public surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.bench}

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet uses TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert (lossless: the data is
+        # microsecond-aligned). Keeps the scan distributed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
