@@ -147,6 +147,90 @@ def osv_affected_ranges(
 
 
 # ---------------------------------------------------------------------------
+# Ruby pessimistic-operator ("~>") expressions (ruby.go:222-315)
+# ---------------------------------------------------------------------------
+
+_RUBY_V1 = re.compile(r"~> ([0-9a-zA-Z.]+), >= ([0-9a-zA-Z.]+)")
+_RUBY_V2 = re.compile(r"([<>=]+) ([0-9a-zA-Z.]+), ([<>=]+) ([0-9a-zA-Z.]+)")
+_RUBY_V3 = re.compile(r"~> ([0-9a-zA-Z.]+)")
+_RUBY_V4 = re.compile(r"([<>=]+) ([0-9a-zA-Z.]+)")
+
+
+def get_operation(op: str, rev: bool) -> str:
+    """Gem operator → opcode, optionally inverted (ruby.go:222-250)."""
+    table = {">=": ("gteq", "lt"), ">": ("gt", "lteq"), "<=": ("lteq", "gt"), "<": ("lt", "gteq")}
+    if op in table:
+        return table[op][1 if rev else 0]
+    return "eq"
+
+
+def parse_ruby_version(i: int, pv: str, rev: bool) -> list[Term] | None:
+    """One gem requirement string → term list (ruby.go:261-305).
+
+    ``i > 0`` prefixes the first term with ``or``; ``rev`` inverts the
+    operators (used to derive affected from patched). The ``~> X.Y.Z``
+    pessimistic form carries a ``,prefix`` branch qualifier built from the
+    first two version numbers.
+    """
+    pre = "or" if i > 0 else ""
+    if m := _RUBY_V1.search(pv):
+        ver = m.group(2)
+        s = m.group(1).split(".")
+        ver += "," + (m.group(1) if len(s) <= 2 else ".".join(s[:2]))
+        return [Term(pre + get_operation(">=", rev), ver)]
+    if m := _RUBY_V2.search(pv):
+        return [
+            Term(pre + get_operation(m.group(1), rev), m.group(2)),
+            Term(get_operation(m.group(3), rev), m.group(4)),
+        ]
+    if m := _RUBY_V3.search(pv):
+        s = m.group(1).split(".")
+        ver = m.group(1)
+        ver += "," + (".".join(s[: len(s) - 1]) if len(s) <= 2 else ".".join(s[:2]))
+        return [Term(pre + get_operation(">=", rev), ver)]
+    if m := _RUBY_V4.search(pv):
+        return [Term(pre + get_operation(m.group(1), rev), m.group(2))]
+    return None
+
+
+def _ruby_sort_key(s: str) -> str:
+    # sort.Slice on the string left-trimmed of non-alphanumerics
+    # (ruby.go:180-197)
+    i = 0
+    while i < len(s) and not s[i].isalnum():
+        i += 1
+    return s[i:]
+
+
+def ruby_ranges(
+    patched: list[str], unaffected: list[str]
+) -> tuple[list[Term], list[Term], list[Term]] | None:
+    """(affected, fixed, unaffected) terms from gem requirement lists
+    (rubyVulToModule, ruby.go:170-220). Returns None when both inputs are
+    empty (record skipped)."""
+    patched = sorted(patched, key=_ruby_sort_key)
+    unaffected = sorted(unaffected, key=_ruby_sort_key)
+    fixed: list[Term] = []
+    unaff: list[Term] = []
+    for k, pv in enumerate(patched):
+        if terms := parse_ruby_version(k, pv, False):
+            fixed.extend(terms)
+    for k, pv in enumerate(unaffected):
+        if terms := parse_ruby_version(k, pv, False):
+            # note: ruby.go:206-208 "or"-prefixes mver[0] AFTER append —
+            # Go append copies value structs, so that mutation never
+            # reaches UnaffectedVer; terms are stored as parsed
+            unaff.extend(terms)
+    if not patched and not unaffected:
+        return None
+    affected: list[Term] = []
+    for k, pv in enumerate(patched):
+        if terms := parse_ruby_version(k, pv, True):
+            affected.extend(terms)
+    return affected, fixed, unaff
+
+
+# ---------------------------------------------------------------------------
 # Evaluation (the scanner-side semantics, exposed as a query operator)
 # ---------------------------------------------------------------------------
 

@@ -12,6 +12,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pythonpath_with_repo() -> str:
+    existing = os.environ.get("PYTHONPATH", "")
+    return f"{_REPO_ROOT}:{existing}" if existing else _REPO_ROOT
+
 
 def get_spark(
     app_name: str = "vul_dbgen_spark",
@@ -49,6 +56,10 @@ def get_spark(
         # reader rejects; read as long and convert (lossless: the data is
         # microsecond-aligned). Keeps the scan distributed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python workers must import this package for the Arrow UDFs
+        # (version comparator, range parsers) regardless of the driver's
+        # cwd; on a real cluster the equivalent is --py-files
+        .config("spark.executorEnv.PYTHONPATH", _pythonpath_with_repo())
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -51,7 +51,20 @@ def register_meta(name: str):
 
 
 def _import_all() -> None:
-    from . import alpine, debian, nvd, photon  # noqa: F401
+    from . import (  # noqa: F401
+        alpine,
+        debian,
+        ghsa,
+        govuln,
+        k8s,
+        manual,
+        nginx,
+        nvd,
+        openshift,
+        openssl,
+        photon,
+        ruby,
+    )
 
 
 _import_all()
