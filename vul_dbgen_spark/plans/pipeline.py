@@ -28,7 +28,20 @@ from .namespacing import do_vulnerabilities_namespacing
 
 # registration order = dbgen.go:17-29 import side effects; used as the
 # deterministic stand-in for channel-arrival order (SURVEY.md §4.3)
-DISTRO_SOURCE_ORDER = ["debian", "alpine", "photon"]
+DISTRO_SOURCE_ORDER = [
+    "alpine",
+    "amazon",
+    "chainguard",
+    "debian",
+    "mariner",
+    "oracle",
+    "photon",
+    "redhat",
+    "rocky",
+    "suse",
+    "ubuntu",
+    "wolfi",
+]
 
 
 def os_keyed_upsert(df: DataFrame) -> DataFrame:

@@ -53,17 +53,25 @@ def register_meta(name: str):
 def _import_all() -> None:
     from . import (  # noqa: F401
         alpine,
+        amazon,
+        chainguard,
         debian,
         ghsa,
         govuln,
         k8s,
         manual,
+        mariner,
         nginx,
         nvd,
         openshift,
         openssl,
+        oracle,
         photon,
+        rhel,
+        rocky,
         ruby,
+        suse,
+        ubuntu,
     )
 
 
