@@ -46,6 +46,42 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# --- "from_tokens" variants -------------------------------------------------
+# Use these when the token array is already projected as a column: lambda
+# bodies (filter/transform/aggregate) inline captured expressions, so an
+# inline tokens(text) would re-run its regexps per array element.
+
+
+def stopword_ratio_from_tokens(toks: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def avg_token_len_from_tokens(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    scores = lang_scores_from_tokens(toks)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     col = F.col(col) if isinstance(col, str) else col
@@ -88,9 +124,14 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of the normalized text."""
-    toks = tokens(col)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an already-materialized token array.
+
+    Take ``toks`` from a *column* (projected in a prior select), not an
+    inline expression: Catalyst inlines lambda-captured expressions, so an
+    inline ``tokens(text)`` would re-run the regexp tokenization for every
+    ``element_at`` — O(n_grams × n) regexp evaluations per row.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     grams = F.transform(
         idx,
@@ -99,6 +140,15 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text.
+
+    NOTE: prefer projecting ``tokens(col)`` first and calling
+    ``word_ngrams_from_tokens`` (see its docstring for why).
+    """
+    return word_ngrams_from_tokens(tokens(col), n)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

@@ -41,10 +41,29 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition only when the scan has fewer partitions than cores.
+
+    A small single-file parquet scan otherwise pins every downstream
+    CPU-heavy projection to one task; a 100 TB scan already has thousands
+    of partitions and must NOT be reshuffled."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("grams")
+    # two projections: tokens materialize once per row, then the gram
+    # builder indexes the materialized array. CollapseProject keeps them
+    # separate because toks is referenced many times — collapsing would
+    # re-run the tokenizer regexps per element_at (word_ngrams_from_tokens).
+    from ..functions.text import tokens, word_ngrams_from_tokens
+
+    toked = spread_small_scan(df).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
     )
+    return toked.select("doc", word_ngrams_from_tokens(F.col("toks"), n).alias("grams"))
 
 
 def ngram_jaccard_pairs(
@@ -62,7 +81,13 @@ def ngram_jaccard_pairs(
     stopword shingles at 100 TB scale (documented-droppable, off by
     default so the DuckDB oracle can mirror exactly).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # persist: the shingle table feeds both self-join sides AND both size
+    # joins — without it the tokenize/shingle DAG recomputes ~5×. At scale
+    # this is the standard persist-before-self-join; MEMORY_AND_DISK spills
+    # rather than OOMs on big corpora.
+    from pyspark import StorageLevel
+
+    sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc", F.size("grams").alias("n_grams"))
     ex = sh.select("doc", F.explode("grams").alias("gram"))
     if max_shingle_df is not None:

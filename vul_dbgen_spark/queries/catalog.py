@@ -797,12 +797,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics (token count, avg token length,
     punctuation ratio, stopword ratio) — all codegen column expressions."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    # tokens materialize once; the *_from_tokens forms avoid per-element
+    # re-tokenization inside lambda bodies (see functions/text.py)
+    t = d.select("doc_id", "text", TX.tokens("text").alias("toks"))
+    return t.select(
         "doc_id",
-        TX.token_count("text").cast("bigint").alias("n_tokens"),
-        F.round(TX.avg_token_len("text"), 4).alias("avg_tok_len"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(TX.avg_token_len_from_tokens(F.col("toks")), 4).alias("avg_tok_len"),
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(TX.stopword_ratio_from_tokens(F.col("toks")), 4).alias("stop_ratio"),
     )
 
 
@@ -837,11 +840,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts, argmax with
     fixed tie order."""
     d = load(spark, sf_dir, "documents")
-    scores = TX.lang_scores(F.col("text"))
-    return d.select(
+    t = d.select("doc_id", TX.tokens("text").alias("toks"))
+    scores = TX.lang_scores_from_tokens(F.col("toks"))
+    return t.select(
         "doc_id",
         *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
-        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"),
     )
 
 
