@@ -1,0 +1,98 @@
+"""Multimodal plumbing: binary payload columns + stubbed decode via
+Arrow-batched mapInPandas (operators/multimodal.py).
+
+The codec is a deterministic fake (no image/audio libs in this
+container); these tests pin the fake's contract AND the distributed
+plumbing (schemas, fan-out shape, byte-exact hashing vs hashlib).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from vul_dbgen_spark.operators.multimodal import (
+    AUDIO_SCHEMA,
+    FRAME_SCHEMA,
+    IMAGE_FEATURES_SCHEMA,
+    _fake_decode,
+    _try_real_decode,
+    audio_features,
+    frame_sample,
+    image_features,
+    synth_media,
+)
+
+TEXTS = [
+    (0, "hello multimodal world"),
+    (1, "x" * 200),
+    (2, ""),
+    (3, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(TEXTS, ["doc_id", "text"])
+    return synth_media(df, "doc_id", "text")
+
+
+def test_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        _try_real_decode(b"\x89PNG")
+
+
+def test_synth_media_schema_and_meta(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "media_type",
+        "payload",
+        "meta",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    rows = {r.media_id: r for r in media.collect()}
+    assert bytes(rows[0].payload) == b"hello multimodal world"
+    assert rows[1].meta.n_bytes == 200
+    assert rows[0].media_type == "image"
+    assert rows[1].media_type == "audio"
+    assert rows[2].media_type == "video"
+
+
+def test_image_features_match_reference(media):
+    out = image_features(media)
+    assert out.schema == IMAGE_FEATURES_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    for doc_id, text in TEXTS:
+        b = text.encode()
+        w, h, c = _fake_decode(b)
+        r = rows[doc_id]
+        assert (r.n_bytes, r.width, r.height, r.channels) == (len(b), w, h, c)
+        assert r.sha16 == hashlib.sha256(b).hexdigest()[:16]
+
+
+def test_frame_sample_fanout_and_bytes(media):
+    out = frame_sample(media, frame_bytes=64, every_k=2)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    # 200-byte payload → 4 frames → sampled idx {0, 2}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2]
+    f2 = next(r for r in by_doc[1] if r.frame_idx == 2)
+    seg = (b"x" * 200)[128:192]
+    assert f2.frame_len == 64
+    assert f2.frame_sha16 == hashlib.sha256(seg).hexdigest()[:16]
+    # empty payload → zero frames
+    assert 2 not in by_doc
+
+
+def test_audio_features_duration_format(media):
+    out = audio_features(media, sample_rate=16000)
+    assert out.schema == AUDIO_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].duration_s == f"{200 / 16000:.6f}"
+    b = TEXTS[0][1].encode()
+    assert rows[0].mean_byte == sum(b) // len(b)
+    assert rows[2].mean_byte == 0

@@ -29,7 +29,17 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.multimodal import (
+    audio_features,
+    frame_sample,
+    image_features,
+    synth_media,
+)
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
 
 TABLES = [
     "region",
@@ -916,6 +926,116 @@ def _simhash_oracle(bits: int = 60) -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints over word-2-gram shingles."""
     return simhash64(load(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+    tags=["text", "fingerprint"],
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) — the
+    map-side key behind exact dedup, exposed as its own operator."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ve, b.ve)
+                 / (sqrt(list_dot_product(a.ve, a.ve))
+                    * sqrt(list_dot_product(b.ve, b.ve))), 4) AS cos
+    FROM v a CROSS JOIN v b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.ve, b.ve)
+          / (sqrt(list_dot_product(a.ve, a.ve))
+             * sqrt(list_dot_product(b.ve, b.ve))) >= 0.40
+    """,
+    tags=["dedup", "embedding", "near-dup"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.40). Exact
+    all-pairs baseline; the LSH bucket join is the 100 TB path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payloads + stubbed decode (see operators/multimodal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT)            AS n_bytes,
+           CAST(16 + length(text) % 97 AS INT)     AS width,
+           CAST(16 + (length(text) * 31) % 97 AS INT) AS height,
+           CAST(3 AS INT)                          AS channels,
+           substr(sha256(text), 1, 16)             AS sha16
+    FROM documents
+    """,
+    tags=["multimodal", "image", "mapInPandas"],
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/feature-extract over binary payloads via Arrow-batched
+    mapInPandas (codec stubbed → deterministic fake; plumbing real).
+    Oracle mirrors the fake exactly — documents text is ASCII, so
+    length(text) == payload byte length and sha256(text) == sha256(bytes)."""
+    media = synth_media(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return image_features(media)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INT) - 1, 2))
+               AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(text, frame_idx*64 + 1, 64)) AS INT) AS frame_len,
+           substr(sha256(substr(text, frame_idx*64 + 1, 64)), 1, 16) AS frame_sha16
+    FROM f
+    """,
+    tags=["multimodal", "video", "mapInPandas"],
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 64-byte frames, every 2nd kept; per-frame
+    decode stubbed to (length, sha256). One media row fans out to its
+    sampled frames inside mapInPandas."""
+    media = synth_media(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return frame_sample(media, frame_bytes=64, every_k=2)
+
+
+@register(
+    "mm_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           printf('%.6f', length(text) / 16000.0) AS duration_s,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                // length(text) AS INT) AS mean_byte
+    FROM documents
+    """,
+    tags=["multimodal", "audio", "mapInPandas"],
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (nominal duration + mean-byte energy
+    proxy), codec stubbed, Arrow plumbing real."""
+    media = synth_media(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return audio_features(media, sample_rate=16000)
 
 
 # ---------------------------------------------------------------------------
