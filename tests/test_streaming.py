@@ -1,0 +1,72 @@
+"""Structured Streaming surface (vul_dbgen_spark/streaming/ops.py):
+bounded availableNow streams must be batch-equivalent, and the custom
+stateful operator must hold O(1) state per key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark import streaming as ST
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_tumbling_equals_batch_groupby(spark, events_batch):
+    got = ST.run_to_memory(
+        ST.tumbling_counts(ST.events_stream(spark, SF), "5 minutes"),
+        "t_tumbling_out",
+    )
+    want = (
+        events_batch.groupBy(
+            F.window("ts", "5 minutes").start.alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sliding_each_event_in_two_windows(spark, events_batch):
+    got = ST.run_to_memory(
+        ST.sliding_counts(ST.events_stream(spark, SF), "10 minutes", "5 minutes"),
+        "t_sliding_out",
+    )
+    n_events = events_batch.count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+
+
+def test_watermarked_distinct_matches_batch_distinct(spark, events_batch):
+    got = ST.run_to_memory(
+        ST.watermarked_distinct(ST.events_stream(spark, SF), ["user_id", "event_type"]),
+        "t_distinct_out",
+        output_mode="append",
+    )
+    want = events_batch.select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_user_stats_matches_batch(spark, events_batch):
+    got = ST.run_to_memory(
+        ST.stateful_user_stats(ST.events_stream(spark, SF)),
+        "t_stateful_out",
+        output_mode="update",
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+    g = {r.user_id: r for r in got.collect()}
+    w = {r.user_id: r for r in want.collect()}
+    assert g.keys() == w.keys()
+    for k in w:
+        assert g[k].n_events == w[k].n_events
+        assert g[k].max_ts == w[k].max_ts
+        assert abs(g[k].sum_value - round(w[k].sum_value, 2)) < 0.02

@@ -40,6 +40,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     lsh_bucket_topk,
 )
+from .. import streaming as ST
 
 TABLES = [
     "region",
@@ -1056,36 +1057,72 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregation, driven to
     completion with availableNow over the parquet source and a memory
     sink — same result as the batch group-by the oracle runs."""
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    # FileStreamSource wants a directory: stream the sf dir, glob one file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    stream = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.tumbling_counts(stream, "5 minutes"), "stream_tumbling_counts_out"
     )
-    # ts arrives as long nanos (see load()); convert before windowing
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = (
-        stream.groupBy(F.window("ts", "5 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    WITH w AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start
+      FROM events
     )
-    name = "stream_tumbling_counts_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    SELECT window_start, event_type, count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+    tags=["streaming", "sliding-window", "watermark"],
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (10 min wide / 5 min slide) streaming counts with a
+    30-minute watermark bounding state; each event lands in exactly two
+    windows, which the oracle reproduces via unnest."""
+    stream = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.sliding_counts(stream, "10 minutes", "5 minutes"),
+        "stream_sliding_counts_out",
     )
-    q.awaitTermination()
-    return spark.table(name)
+
+
+@register(
+    "stream_distinct_users",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup", "watermark"],
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) under a
+    watermark — the streaming form of exact dedup; bounded input makes it
+    batch-equivalent (SELECT DISTINCT)."""
+    stream = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.watermarked_distinct(stream, ["user_id", "event_type"]),
+        "stream_distinct_users_out",
+        output_mode="append",
+    )
+
+
+@register(
+    "stream_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=["streaming", "stateful", "applyInPandasWithState"],
+)
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count/sum/last-seen. Bounded single-file input drains
+    in one batch, so the update-mode emission equals the batch group-by."""
+    stream = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.stateful_user_stats(stream), "stream_user_stats_out", output_mode="update"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,8 @@
+from .ops import (  # noqa: F401
+    events_stream,
+    run_to_memory,
+    sliding_counts,
+    stateful_user_stats,
+    tumbling_counts,
+    watermarked_distinct,
+)

@@ -1,0 +1,151 @@
+"""Structured Streaming operators over the events table.
+
+The reference is a single-shot batch program (no streaming — SURVEY.md
+§2.6, dbgen.go:67-76); this module is the beyond-reference streaming
+surface: file-source streams driven to completion with ``availableNow``
+(bounded ⇒ batch-equivalent, so the DuckDB oracle can verify results),
+watermarked windowed aggregations for late data, and a custom stateful
+operator via ``applyInPandasWithState``.
+
+Scale notes:
+- windowed groupBy shuffles once on (window, key) — same plan shape
+  Catalyst gives the batch equivalent; state store is partitioned by the
+  grouping key so a 1000-executor cluster shards state linearly;
+- watermarks bound state: without one, complete-mode window state grows
+  with the key×window product forever;
+- applyInPandasWithState streams Arrow batches per key group — state
+  value stays O(1) per key (running aggregates only, never raw rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (bounded: availableNow
+    drains it and terminates). ts arrives as long nanos under
+    ``nanosAsLong`` — converted JVM-side before any windowing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+) -> "DataFrame":
+    """Drive a bounded stream to completion into a memory sink and return
+    the result table. Re-running in the same session replaces the sink."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def tumbling_counts(stream: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window count/sum per event_type."""
+    return (
+        stream.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows.
+    State is bounded by the watermark (late events beyond it are dropped
+    instead of reopening old windows)."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def watermarked_distinct(stream: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming dropDuplicates on key columns with a watermark bounding
+    the dedup state (the batch equivalent is SELECT DISTINCT keys)."""
+    return stream.withWatermark("ts", "30 minutes").select(*keys).dropDuplicates(keys)
+
+
+STATEFUL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_ts", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("mx", TimestampType()),
+    ]
+)
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user stats; state holds O(1) aggregates, never rows."""
+    n, s, mx = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        mx = batch_max if mx is None else max(mx, batch_max)
+    state.update((n, s, mx))
+    yield pd.DataFrame(
+        [(key[0], n, round(s, 2), mx)],
+        columns=["user_id", "n_events", "sum_value", "max_ts"],
+    )
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count / sum / last-seen, emitted in update mode each batch."""
+    return (
+        stream.select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=STATEFUL_OUT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
