@@ -40,6 +40,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     lsh_bucket_topk,
 )
+from ..operators.rangejoin import range_join_bucketed
 from .. import streaming as ST
 
 TABLES = [
@@ -965,6 +966,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs baseline; the LSH bucket join is the 100 TB path."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+@register(
+    "range_join_ship_window",
+    """
+    SELECT o.o_orderkey, count(l.l_orderkey) AS n_near
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+    bench=True,
+    tags=["join", "range-join", "bucketed"],
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join executed as a bucket equi-join (operators/
+    rangejoin.py): lineitems shipped within 3 days after each order date,
+    counted per order. The naive form is a nested-loop join; the bucketed
+    form shuffles on day buckets like any key join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    pairs = range_join_bucketed(
+        o,
+        li,
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"),
+        F.col("l_shipdate"),
+        bucket="1 day",
+    )
+    counts = pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_near"))
+    return (
+        o.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey", F.coalesce("n_near", F.lit(0)).cast("bigint").alias("n_near")
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch is engine-specific; relative error pinned in pytest
+    tags=["agg", "approx", "sketch"],
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event_type — the sketch
+    path for 100 TB cardinality estimation (exact distinct shuffles every
+    key; the sketch is constant-size per group). Engine-specific values ⇒
+    rows-only driver check + pytest error-bound assertion."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
 
 
 # ---------------------------------------------------------------------------
