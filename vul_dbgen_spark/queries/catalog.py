@@ -582,6 +582,36 @@ def w2_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w3_grouping_sets",
+    """
+    SELECT coalesce(o.o_orderpriority, 'ALL') AS pri,
+           coalesce(c.c_mktsegment, 'ALL') AS seg,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((o.o_orderpriority), (c.c_mktsegment), ())
+    """,
+    tags=["grouping-sets"],
+)
+def w3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-priority, per-segment, grand total) —
+    the non-hierarchical variant rollup can't express; one Expand + one
+    shuffle, same plan shape at any scale."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j.createOrReplaceTempView("w3_oc")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+               coalesce(c_mktsegment, 'ALL') AS seg,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM w3_oc
+        GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment), ())
+        """
+    )
+
+
+@register(
     "asof_order_before_event",
     """
     SELECT event_id, user_id, ts, o_orderkey AS matched_order,
