@@ -125,14 +125,33 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams from an already-materialized token array.
+    """Distinct word n-grams from a token-array column.
 
-    Take ``toks`` from a *column* (projected in a prior select), not an
-    inline expression: Catalyst inlines lambda-captured expressions, so an
-    inline ``tokens(text)`` would re-run the regexp tokenization for every
-    ``element_at`` — O(n_grams × n) regexp evaluations per row.
+    One ``slice`` + ``array_join`` per gram instead of n ``element_at``
+    calls — fewer references to the captured ``toks`` expression (which
+    CollapseProject may inline and re-evaluate per reference) and no
+    per-element index arithmetic; measured equal-or-better warm runtime.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = _gram_indices(toks, n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def _gram_indices(toks: Column, n: int) -> Column:
+    """1-based start indices of the n-grams; EMPTY when size < n.
+
+    sequence(1, size-n+1) alone is wrong for short docs: sequence counts
+    DOWN when the stop is below the start, so size < n would yield [1, 0]
+    and index-0 array access errors under ANSI mode.
+    """
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _word_ngrams_elementwise(toks: Column, n: int = 3) -> Column:
+    """Previous element_at formulation — kept for the regression test."""
+    idx = _gram_indices(toks, n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
