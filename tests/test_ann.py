@@ -1,0 +1,73 @@
+"""Approximate nearest-neighbor operators (operators/similarity.py):
+LSH and IVF variants must achieve reasonable recall vs the exact
+brute-force baseline, and IVF cell assignment must be deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.operators.similarity import (
+    _argmin_centroid,
+    brute_force_topk,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r.qid, r.cid) for r in df.collect()}
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(
+        brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    )
+    approx = _pairs(
+        ivf_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, n_centroids=8, nprobe=3,
+        )
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_full_probe_equals_exact(emb):
+    """With nprobe == n_centroids every cell is searched ⇒ exact."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _pairs(
+        brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    )
+    full = _pairs(
+        ivf_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=5, n_centroids=4, nprobe=4,
+        )
+    )
+    assert full == exact
+
+
+def test_centroid_assignment_deterministic(emb):
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    a = emb.select(
+        "vec_id", _argmin_centroid(F.col("embedding"), cents).alias("c")
+    ).collect()
+    b = emb.select(
+        "vec_id", _argmin_centroid(F.col("embedding"), cents).alias("c")
+    ).collect()
+    assert {r.vec_id: r.c for r in a} == {r.vec_id: r.c for r in b}
+    # a centroid vector must land in its own cell (cos(v, v) = 1 is max)
+    own = {r.vec_id: r.c for r in a}
+    for cid, _ in cents:
+        assert own[cid] == cid

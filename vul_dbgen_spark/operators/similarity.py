@@ -125,6 +125,94 @@ def lsh_bucket_topk(
     )
 
 
+def _argmin_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """centroid id with the highest cosine to ``vec_col`` (ties → lowest id).
+
+    Pure column expression: array of (-)similarity structs, array_min picks
+    the best lexicographically — stays in codegen for any centroid count.
+    """
+    entries = []
+    for cid, cvec in centroids:
+        plane = F.array(*[F.lit(x) for x in cvec])
+        entries.append(
+            F.struct(
+                (-cosine(vec_col, plane)).alias("negsim"), F.lit(cid).alias("cid")
+            )
+        )
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def _top_centroids(vec_col: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """ids of the ``nprobe`` most-similar centroids (array column)."""
+    entries = []
+    for cid, cvec in centroids:
+        plane = F.array(*[F.lit(x) for x in cvec])
+        entries.append(
+            F.struct(
+                (-cosine(vec_col, plane)).alias("negsim"), F.lit(cid).alias("cid")
+            )
+        )
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    centroid cells, search only the query's ``nprobe`` nearest cells.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors
+    (deterministic; a k-means refinement would slot in without changing
+    the plan shape). The centroid table is tiny and driver-collected once;
+    assignment is a pure column expression, so the corpus is scanned once
+    and shuffled once on ``centroid_id`` — at 100 TB the cell join
+    replaces the all-pairs cross join, and cells can be written
+    partitioned-by-centroid so repeated queries prune to nprobe/k of the
+    data at the parquet-scan level.
+    """
+    cent_rows = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(corpus_vec).alias("cv"),
+        _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qv"),
+        F.explode(_top_centroids(F.col(query_vec), centroids, nprobe)).alias(
+            "centroid_id"
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -38,6 +38,7 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from ..operators.rangejoin import range_join_bucketed
@@ -929,6 +930,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", dim=64, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by design; recall asserted vs brute force in pytest
+    tags=["similarity", "ann", "ivf"],
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: deterministic coarse centroids,
+    nprobe-cell search + exact re-rank (operators/similarity.py:ivf_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, n_centroids=8, nprobe=3,
+    )
 
 
 def _simhash_oracle(bits: int = 60) -> str:
