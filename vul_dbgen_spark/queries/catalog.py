@@ -805,9 +805,30 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8)
 
 
+def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    # band string mirrors the Spark side exactly: concat_ws("|", str(b), mh_b, mh_b+1)
+    band_exprs = ", ".join(
+        f"'{b}' || '|' || mh{b} || '|' || mh{b + 1}"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sig AS (SELECT doc_id, {sig_cols} FROM grams),
+    bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
 @register(
     "dedup_minhash_lsh_pairs",
-    None,  # band-join candidates; verified against jaccard in pytest
+    _minhash_lsh_oracle(8, 2),
     tags=["dedup", "minhash", "lsh"],
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
