@@ -158,3 +158,33 @@ def test_compact_db_subset(db_out):
     )
     # no raw files in compact
     assert "rhel-cpe.map" not in files
+
+
+def test_partitioned_ndjson_scale_sink(spark, tmp_path_factory, db_out):
+    """write_partitioned_ndjson: executor-side partitioned write must hold
+    exactly the same lines as the driver-assembled container."""
+    os_out, app_out = pipeline.run(spark, ROOT)
+    out_dir = str(tmp_path_factory.mktemp("part_ndjson"))
+    memdb.write_partitioned_ndjson(os_out, app_out, out_dir)
+
+    container_dir, _ = db_out
+    _, files = memdb.read_db_file(os.path.join(container_dir, memdb.REGULAR_DB_NAME))
+
+    import glob
+
+    for i, (_, idx_name, full_name) in enumerate(memdb.BUCKETS):
+        for sub, tb in (("index", idx_name), ("full", full_name)):
+            parts = sorted(glob.glob(os.path.join(out_dir, sub, f"bucket={i}", "part-*")))
+            got = sorted(
+                line
+                for p in parts
+                for line in open(p, encoding="utf-8").read().splitlines()
+            )
+            want = sorted(files[tb].decode().splitlines())
+            assert got == want, f"bucket {i} {sub} mismatch"
+
+    app_parts = sorted(glob.glob(os.path.join(out_dir, "apps", "part-*")))
+    got_apps = sorted(
+        line for p in app_parts for line in open(p, encoding="utf-8").read().splitlines()
+    )
+    assert got_apps == sorted(files["apps.tb"].decode().splitlines())

@@ -392,3 +392,43 @@ def update_db(
         regular_files,
     )
     return regular_shas
+
+
+def write_partitioned_ndjson(os_vulns: DataFrame, app_vulns: DataFrame, out_dir: str) -> None:
+    """Distributed scale-path sink: the same index/full/app NDJSON lines,
+    written as text partitioned by namespace bucket — no driver assembly.
+
+    ``update_db`` streams through the driver because the reference's
+    single-container format (tar→gzip→AES) demands one byte stream; at
+    100 TB the database IS the partitioned directory tree, each bucket a
+    set of parallel-written text parts (readable back with
+    ``spark.read.text(f"{out_dir}/index/bucket=N")``). Executors write
+    their partitions directly — the driver never sees a row.
+    """
+    lines = os_vuln_lines(os_vulns)
+    bad = lines.filter(F.col("bucket").isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(f"No known namespace bucket for: {bad[0]['namespace']}")
+    lines = lines.repartitionByRange("bucket", "namespace", "name").sortWithinPartitions(
+        "bucket", "namespace", "name"
+    )
+    (
+        lines.select("bucket", F.col("index_line").alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(os.path.join(out_dir, "index"))
+    )
+    (
+        lines.select("bucket", F.col("full_line").alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(os.path.join(out_dir, "full"))
+    )
+    (
+        app_vuln_lines(app_vulns)
+        .repartitionByRange("module_name", "vul_name")
+        .sortWithinPartitions("module_name", "vul_name")
+        .select(F.col("line").alias("value"))
+        .write.mode("overwrite")
+        .text(os.path.join(out_dir, "apps"))
+    )
