@@ -19,13 +19,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from pyspark.sql import functions as F
+
     from vul_dbgen_spark.queries.catalog import REGISTRY
     from vul_dbgen_spark.session import get_spark
 
     spark = get_spark("vul_dbgen_spark_bench")
-    # warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not first-call classloading
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the JVM once so per-query numbers measure the engine, not
+    # first-call classloading: codegen, the parquet reader, a shuffle,
+    # and a broadcast join each lazily load classes on first use
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.join(warm.selectExpr("r_regionkey as k"), warm.r_regionkey == F.col("k")).groupBy(
+        "r_name"
+    ).count().collect()
 
     timings: dict[str, float] = {}
     total = 0.0

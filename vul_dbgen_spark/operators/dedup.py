@@ -81,28 +81,35 @@ def ngram_jaccard_pairs(
     stopword shingles at 100 TB scale (documented-droppable, off by
     default so the DuckDB oracle can mirror exactly).
     """
-    # persist: the shingle table feeds both self-join sides AND both size
-    # joins — without it the tokenize/shingle DAG recomputes ~5×. At scale
-    # this is the standard persist-before-self-join; MEMORY_AND_DISK spills
-    # rather than OOMs on big corpora.
+    # persist: the posting table feeds both self-join sides (and the
+    # hot-shingle aggregate) — without it the tokenize/shingle DAG
+    # recomputes per consumer. MEMORY_AND_DISK spills rather than OOMs on
+    # big corpora. Each posting also carries its doc's gram count, so the
+    # pair aggregation groups on (doc_a, doc_b, na, nb) and Jaccard falls
+    # out directly — no post-join against a per-doc size table (two fewer
+    # joins over the pair table, the big intermediate at scale).
     from pyspark import StorageLevel
 
+    # cache the compact pre-explode table (one row per doc), not the
+    # exploded postings (one row per gram) — ~n× less data to materialize.
     sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.select("doc", F.size("grams").alias("n_grams"))
-    ex = sh.select("doc", F.explode("grams").alias("gram"))
+    ex = sh.select("doc", F.size("grams").alias("ng"), F.explode("grams").alias("gram"))
     if max_shingle_df is not None:
+        # hot-shingle cap: DF counts are a tiny aggregate (one row per
+        # distinct hot gram) — broadcast anti-join, no extra big shuffle.
         hot = ex.groupBy("gram").count().filter(F.col("count") > max_shingle_df)
         ex = ex.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
-    pairs = (
+    return (
         ex.alias("a")
         .join(ex.alias("b"), "gram")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.ng").alias("na"),
+            F.col("b.ng").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        pairs.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_grams": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_grams": "nb"}), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -110,7 +117,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return out
 
 
 def minhash_signatures(
