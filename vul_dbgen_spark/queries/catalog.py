@@ -154,8 +154,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["join", "topk"],
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter (broadcast), fact join, top-k
-    with deterministic tie-break."""
+    """TPC-H Q3 shape: selective filters, fact joins, top-k with
+    deterministic tie-break.
+
+    No broadcast hints on orders/customer: both grow with the fact data,
+    so a hard hint would OOM executors at 100 TB. AQE sees the
+    post-filter sizes at runtime and converts to broadcast-hash when a
+    side is actually small (verified in the sf0.1 plan), falling back to
+    shuffle join at scale — strictly better than pinning the strategy."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -164,8 +170,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -199,8 +205,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["join", "broadcast", "J1-analog"],
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join — every dimension broadcast, single
-    shuffle for the final group-by."""
+    """TPC-H Q5 shape: star join, single shuffle for the final group-by.
+
+    Broadcast hints only on the bounded dims (region=5 rows, nation=25 at
+    every SF). orders/customer/supplier scale with the data, so their
+    strategy is left to AQE — broadcast-hash at small SF (verified in the
+    sf0.1 plan), shuffle join at 100 TB where a hint would OOM."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -211,12 +221,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy("n_name")
@@ -248,7 +258,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j1_enrich_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NVD-enrichment shape (updater.go:335-552): fact LEFT JOIN broadcast
-    dimension, missing fields coalesced feed-value-else-meta-value."""
+    dimension, missing fields coalesced feed-value-else-meta-value.
+
+    The explicit broadcast hint is the point of this operator: the
+    reference's dimension (nvd_meta) is bounded (~300k CVEs, tens of MB)
+    at any fact-table scale, so pinning broadcast-hash is safe and skips
+    AQE's size re-estimation. Fact-sized sides must NOT get this hint —
+    see q3/q5."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
@@ -562,13 +578,14 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w2_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (engine surface: grouping sets / rollup /
-    cube)."""
+    cube). customer scales with the data → AQE picks its join strategy;
+    nation/region are bounded → pinned broadcast."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
@@ -599,7 +616,7 @@ def w3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, same plan shape at any scale."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     j.createOrReplaceTempView("w3_oc")
     return spark.sql(
         """
