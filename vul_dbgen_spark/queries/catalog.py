@@ -42,6 +42,7 @@ from ..operators.similarity import (
     lsh_bucket_topk,
 )
 from ..operators.rangejoin import range_join_bucketed
+from ..operators.search import bm25_topk
 from .. import streaming as ST
 
 TABLES = [
@@ -928,6 +929,39 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
         TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"),
     )
+
+
+_BM25_TERMS = ["hash", "join", "merge"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+             WHERE term IN ({_BM25_TERMS_SQL})
+             GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                     * p.tf * 2.2
+                     / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))), 4) AS score
+    FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    tags=["search", "bm25", "text"],
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed term query (k1=1.2, b=0.75,
+    Robertson idf). Postings explode only the query's terms; corpus stats
+    and per-term document frequencies broadcast — see operators/search.py
+    for the scale analysis."""
+    return bm25_topk(load(spark, sf_dir, "documents"), "doc_id", "text", _BM25_TERMS, k=10)
 
 
 @register(
