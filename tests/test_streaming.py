@@ -70,3 +70,29 @@ def test_stateful_user_stats_matches_batch(spark, events_batch):
         assert g[k].n_events == w[k].n_events
         assert g[k].max_ts == w[k].max_ts
         assert abs(g[k].sum_value - round(w[k].sum_value, 2)) < 0.02
+
+
+def test_interval_join_equals_batch_range_join(spark, events_batch):
+    views = ST.events_stream(spark, SF).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, SF).filter(F.col("event_type") == "purchase")
+    got = ST.run_to_memory(
+        ST.interval_join(views, purchases, gap="1 day", watermark="2 days"),
+        "t_interval_join_out",
+        output_mode="append",
+    )
+    v = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("left_id"), "user_id", F.col("ts").alias("left_ts")
+    )
+    p = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("right_ts"),
+    )
+    want = v.join(
+        p,
+        (v.user_id == p.r_user)
+        & (p.right_ts >= v.left_ts)
+        & (p.right_ts <= v.left_ts + F.expr("INTERVAL 1 day")),
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+    assert want.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -1280,6 +1280,32 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+           v.ts AS left_ts, p.ts AS right_ts
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 day'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=["streaming", "stream-stream-join", "watermark"],
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases within 1 day of a
+    view by the same user. The time-range predicate plus watermarks
+    bound both sides' state; bounded input makes it equal to the batch
+    interval self-join the oracle runs."""
+    views = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ST.run_to_memory(
+        ST.interval_join(views, purchases, gap="1 day", watermark="2 days"),
+        "stream_interval_join_out",
+        output_mode="append",
+    )
+
+
+@register(
     "stream_user_stats",
     """
     SELECT user_id, count(*) AS n_events,

@@ -1,5 +1,6 @@
 from .ops import (  # noqa: F401
     events_stream,
+    interval_join,
     run_to_memory,
     sliding_counts,
     stateful_user_stats,

@@ -100,6 +100,39 @@ def watermarked_distinct(stream: DataFrame, keys: list[str]) -> DataFrame:
     return stream.withWatermark("ts", "30 minutes").select(*keys).dropDuplicates(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events that follow a
+    left event for the same user within ``gap``.
+
+    Both sides carry a watermark and the join predicate bounds the event
+    time skew, so each side's buffered state is evictable — without both,
+    a stream-stream join must keep every row forever. State shards by the
+    equi-join key (user_id), scaling linearly with executors.
+    """
+    lv = left.select(
+        F.col("event_id").alias("left_id"),
+        "user_id",
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    rv = right.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    return lv.join(
+        rv,
+        (lv.user_id == rv.r_user)
+        & (rv.right_ts >= lv.left_ts)
+        & (rv.right_ts <= lv.left_ts + F.expr(f"INTERVAL {gap}")),
+        "inner",
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+
 STATEFUL_OUT = StructType(
     [
         StructField("user_id", LongType()),
