@@ -43,6 +43,7 @@ from ..operators.similarity import (
 )
 from ..operators.rangejoin import range_join_bucketed
 from ..operators.search import bm25_topk
+from ..operators.skewjoin import salted_groupby_agg, salted_join
 from .. import streaming as ST
 
 TABLES = [
@@ -929,6 +930,69 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
         TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"),
     )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["skew", "salted-join"],
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join: lineitem's hot order keys spread over 8
+    salts, orders replicated per salt. Result is provably identical to
+    the plain join (the oracle), which is the point — skew mitigation
+    must never change semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, o, "l_orderkey", spread_cols=["l_orderkey", "l_linenumber"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=["skew", "two-phase-agg"],
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a genuinely skewed grouping
+    (l_returnflag has 3 values): partial agg per (key, salt), merge per
+    key. Matches the plain groupBy oracle exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_groupby_agg(
+        li,
+        keys=["l_returnflag"],
+        spread_cols=["l_orderkey", "l_linenumber"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "first_ship": ("l_shipdate", "min"),
+            "last_ship": ("l_shipdate", "max"),
+        },
+        n_salts=16,
+    )
+    return out.withColumn("sum_qty", F.round("sum_qty", 2))
 
 
 _BM25_TERMS = ["hash", "join", "merge"]
