@@ -156,6 +156,40 @@ def _top_centroids(vec_col: Column, centroids: list[tuple[int, list[float]]], np
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Spherical-ish k-means centroids for IVF cells via pyspark.ml.
+
+    Vectors are L2-normalized before training so Euclidean k-means
+    approximates cosine clustering (on the unit sphere, Euclidean argmin
+    = cosine argmax). At 100 TB, train on ``sample_fraction`` of the
+    corpus — centroid quality converges long before full-data training,
+    and the fit is one pass per iteration over the sample only. The
+    model is tiny (n_centroids × dim floats) and lives driver-side, like
+    the reference's broadcast dimension maps.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.col("__v")
+    train = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.select(
+        array_to_vector(F.transform(v, lambda x: x / norm(v))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,26 +200,29 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     centroid cells, search only the query's ``nprobe`` nearest cells.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors
-    (deterministic; a k-means refinement would slot in without changing
-    the plan shape). The centroid table is tiny and driver-collected once;
-    assignment is a pure column expression, so the corpus is scanned once
-    and shuffled once on ``centroid_id`` — at 100 TB the cell join
-    replaces the all-pairs cross join, and cells can be written
+    ``centroids`` normally comes from :func:`train_ivf_centroids`
+    (k-means); when omitted, the ``n_centroids`` lowest-id corpus
+    vectors serve as a deterministic zero-training fallback. The
+    centroid table is tiny and driver-collected once; assignment is a
+    pure column expression, so the corpus is scanned once and shuffled
+    once on ``centroid_id`` — at 100 TB the cell join replaces the
+    all-pairs cross join, and cells can be written
     partitioned-by-centroid so repeated queries prune to nprobe/k of the
     data at the parquet-scan level.
     """
-    cent_rows = (
-        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
 
     c = corpus.select(
         F.col(corpus_id).alias("cid"),

@@ -40,6 +40,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_bucket_topk,
+    train_ivf_centroids,
 )
 from ..operators.rangejoin import range_join_bucketed
 from ..operators.search import bm25_topk
@@ -1074,13 +1075,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["similarity", "ann", "ivf"],
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k: deterministic coarse centroids,
-    nprobe-cell search + exact re-rank (operators/similarity.py:ivf_topk)."""
+    """IVF-partitioned approximate top-k: k-means-trained coarse
+    centroids (pyspark.ml, fixed seed), nprobe-cell search + exact
+    re-rank (operators/similarity.py:ivf_topk)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
+    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, seed=42)
     return ivf_topk(
         q, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, n_centroids=8, nprobe=3,
+        k=5, n_centroids=8, nprobe=3, centroids=cents,
     )
 
 
