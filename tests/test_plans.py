@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on (scan-level filter pushdown, column pruning, broadcast joins
+for bounded dims, no stray shuffles) must hold in the optimized plan,
+not just in intent. These would be silent perf cliffs at 100 TB if a
+refactor dropped them — cheap to pin here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.queries import catalog as C
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q1_plan(spark):
+    return _plan(C.q1_pricing_summary(spark, SF))
+
+
+def test_q1_filter_pushed_to_scan(q1_plan):
+    assert "PushedFilters: [" in q1_plan
+    assert "l_shipdate" in q1_plan.split("PushedFilters:")[1][:200]
+
+
+def test_q1_column_pruning(q1_plan):
+    # the scan must not read columns q1 never touches
+    read_schema = q1_plan.split("ReadSchema:")[1].splitlines()[0]
+    for unused in ("l_orderkey", "l_partkey", "l_comment"):
+        assert unused not in read_schema
+
+
+def test_q1_single_shuffle(q1_plan):
+    # scan -> partial agg -> one exchange -> final agg
+    assert q1_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_enrich_join_is_broadcast(spark):
+    plan = _plan(C.j1_enrich_coalesce(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_bounded_dims_broadcast(spark):
+    # nation/region are hint-pinned broadcasts even before AQE runs
+    plan = _plan(C.q5_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_exact_is_one_aggregation(spark):
+    plan = _plan(C.dedup_exact(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_posting_filter_before_explode(spark):
+    # the query-term filter must run inside the generate step (array
+    # filtered before explode), not as a post-explode row filter over
+    # every corpus token
+    opt = _optimized(C.bm25_topk_docs(spark, SF))
+    gen_line = [ln for ln in opt.splitlines() if "Generate explode" in ln]
+    assert gen_line, opt
+    assert "filter(" in gen_line[0]
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    # codegen spans only appear once AQE finalizes the plan → execute first
+    df = C.q1_pricing_summary(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    # "*(n) Op" is the WholeStageCodegen marker in toString form; both the
+    # partial and final aggregates must sit inside codegen stages
+    assert "*(1)" in plan and "*(2)" in plan, plan
