@@ -33,18 +33,28 @@ def main() -> None:
         "r_name"
     ).count().collect()
 
+    # best of 2 runs per query: this box shares the machine with other
+    # load (observed ±20% run-to-run noise), so a single sample measures
+    # the neighbor's compile job as often as the engine. The cache is
+    # cleared between repeats, so each run re-executes the full lineage
+    # (persist() calls inside operators never carry over) — the repeat
+    # only removes load spikes, not work.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
