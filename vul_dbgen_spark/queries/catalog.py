@@ -934,6 +934,35 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pct_order_value",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=["agg", "percentile", "ordered-agg"],
+)
+def pct_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` =
+    DuckDB `quantile_cont`). Exact percentile sorts within each hash
+    partition — at 100 TB prefer approx_percentile (t-digest sketch,
+    map-side combinable); this entry pins the exact path the sketch is
+    judged against."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
     "skew_salted_join",
     """
     SELECT o.o_orderpriority,
