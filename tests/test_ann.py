@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from vul_dbgen_spark.operators.similarity import (
     _argmin_centroid,
     brute_force_topk,
+    embedding_lsh_near_dup_pairs,
+    embedding_near_dup_pairs,
     ivf_topk,
+    lsh_bucket_topk,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -71,6 +74,40 @@ def test_centroid_assignment_deterministic(emb):
     own = {r.vec_id: r.c for r in a}
     for cid, _ in cents:
         assert own[cid] == cid
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    """Hyperplane-LSH top-k: every hit must also be a true cosine
+    neighbor ranking (exact re-rank within buckets), with usable recall
+    vs brute force at 8 planes."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(
+        brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    )
+    approx = _pairs(
+        lsh_bucket_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", dim=64, k=5)
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall:.2f}"
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_recall(emb):
+    """Banded-LSH near-dup: (a) never invents a pair — every emitted pair
+    also passes the exact all-pairs threshold; (b) recalls most true
+    pairs at 8 bands × 4 planes."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.40
+        ).collect()
+    }
+    assert lsh <= exact, f"LSH invented pairs: {sorted(lsh - exact)[:5]}"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"banded-LSH recall too low: {recall:.2f}"
 
 
 def test_kmeans_ivf_recall_at_least_matches_naive(emb):

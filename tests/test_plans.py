@@ -72,6 +72,23 @@ def test_bm25_posting_filter_before_explode(spark):
     assert "filter(" in gen_line[0]
 
 
+def test_embedding_lsh_has_no_cartesian(spark):
+    # the graded embedding near-dup path must be a band equi-join —
+    # a CartesianProduct/BNLJ here is the exact 100 TB cliff this
+    # operator exists to avoid
+    plan = _plan(C.dedup_embedding_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capped_jaccard_hot_gram_antijoin_is_broadcast(spark):
+    # the hot-shingle cap is a tiny aggregate; its anti-join against the
+    # posting table must broadcast, not shuffle the postings again
+    plan = _plan(C.dedup_ngram_jaccard_capped(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     # codegen spans only appear once AQE finalizes the plan → execute first
     df = C.q1_pricing_summary(spark, SF)

@@ -42,13 +42,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Repartition only when the scan has fewer partitions than cores.
+    """Repartition only when the scan is too small to feed every core.
 
     A small single-file parquet scan otherwise pins every downstream
     CPU-heavy projection to one task; a 100 TB scan already has thousands
-    of partitions and must NOT be reshuffled."""
+    of input files and must NOT be reshuffled. Decided from DataFrame
+    metadata only (``inputFiles`` — no RDD materialization): fewer files
+    than cores ⇒ spread. A single huge file that Spark would split by
+    maxPartitionBytes repartitions harmlessly (one extra round-robin
+    exchange of already-parallel data); thousands of files skip it."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g., in-memory fixture)
+        return df
+    if n_inputs and n_inputs < target:
         return df.repartition(target)
     return df
 

@@ -84,6 +84,30 @@ def _plane(dim: int, seed: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def hyperplanes(dim: int, n_planes: int, start_seed: int = 1) -> list[list[float]]:
+    """The deterministic hyperplane family used by every LSH operator here.
+
+    Public so the DuckDB oracle can embed the exact same constants as SQL
+    literals (``repr(float)`` round-trips the double bit pattern) and
+    reproduce the sign signatures engine-independently.
+    """
+    return [_plane(dim, start_seed + p) for p in range(n_planes)]
+
+
+def band_signatures(vec: Column, dim: int, n_bands: int, band_planes: int, start_seed: int = 1) -> Column:
+    """Array of per-band sign-signature strings ``"{b}|0110"`` for a
+    vector — the shared banded-LSH primitive (deterministic planes, so
+    the DuckDB oracle reproduces band membership bit-for-bit)."""
+    out = []
+    for b in range(n_bands):
+        bits = [
+            F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in hyperplanes(dim, band_planes, start_seed + b * band_planes)
+        ]
+        out.append(F.concat(F.lit(f"{b}|"), *bits))
+    return F.array(*out)
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -93,28 +117,39 @@ def lsh_bucket_topk(
     corpus_vec: str,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_bands: int = 8,
+    band_planes: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: sign-of-projection LSH bucket join + exact
-    re-rank within buckets. Bucket = n_planes-bit signature; at scale the
-    equi-join on bucket replaces the cross join."""
+    """Approximate top-k via banded hyperplane LSH + exact re-rank.
 
-    def signature(vec_col: str):
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(x) for x in _plane(dim, p + 1)])
-            bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"), signature(query_vec).alias("sig")
+    Candidate = corpus vector agreeing with the query on >=1 of
+    ``n_bands`` bands of ``band_planes`` sign bits (a single wide
+    signature has ~zero recall for mid-similarity neighbors: at
+    cos≈0.5 the per-plane agreement is ~0.68, so 0.68⁸≈4% — banding is
+    what makes hyperplane LSH usable). Band rows carry only (id, band
+    string); vectors join back after the DISTINCT candidate set, so the
+    band shuffle never ships embeddings. The (tiny) query band table is
+    broadcast. At scale the band equi-join replaces the cross join."""
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+    qb = queries.select(
+        F.col(query_id).alias("qid"),
+        F.explode(band_signatures(F.col(query_vec), dim, n_bands, band_planes)).alias("band"),
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"), signature(corpus_vec).alias("sig")
+    cb = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.explode(band_signatures(F.col(corpus_vec), dim, n_bands, band_planes)).alias("band"),
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(cb, "band")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
     )
     scored = (
-        q.join(c, "sig")
-        .filter(F.col("qid") != F.col("cid"))
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
         .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
@@ -254,12 +289,61 @@ def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (exact
-    all-pairs baseline; swap in lsh buckets for the 100 TB path)."""
+    all-pairs baseline; :func:`embedding_lsh_near_dup_pairs` is the
+    100 TB path — this O(n²) form exists to verify it at small SF)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+NEAR_DUP_SEED = 101  # seed space disjoint from lsh_bucket_topk's 1..n_planes
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.40,
+    n_bands: int = 8,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via banded random-hyperplane LSH — the 100 TB path.
+
+    Semantics (exactly mirrorable in SQL, hence oracle-checkable): a pair
+    qualifies iff (a) both vectors agree on the sign pattern of at least
+    one band of ``band_planes`` hyperplanes AND (b) cosine >= threshold.
+    Candidate generation is a band equi-join (shuffle bounded by true
+    near-dup clusters, never |n|²); vectors are NOT carried through the
+    band explode — candidates join back to the vector table, so the
+    shuffled band rows are (id, band-string) only. No CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan (pinned in
+    tests/test_plans.py). Recall vs the exact all-pairs operator is
+    asserted in tests/test_ann.py.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bands = v.select(
+        "id",
+        F.explode(
+            band_signatures(F.col("v"), dim, n_bands, band_planes, NEAR_DUP_SEED)
+        ).alias("band"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))

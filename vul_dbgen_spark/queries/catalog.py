@@ -36,11 +36,13 @@ from ..operators.multimodal import (
     synth_media,
 )
 from ..operators.similarity import (
+    NEAR_DUP_SEED,
     brute_force_topk,
+    embedding_lsh_near_dup_pairs,
     embedding_near_dup_pairs,
+    hyperplanes,
     ivf_topk,
     lsh_bucket_topk,
-    train_ivf_centroids,
 )
 from ..operators.rangejoin import range_join_bucketed
 from ..operators.search import bm25_topk
@@ -800,6 +802,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_cap(n_docs: int) -> int:
+    """Corpus-relative hot-shingle cap: 0.4% of the corpus, floor 5.
+
+    Integer math only (``//``) so the DuckDB oracle computes the exact
+    same cap from ``count(*)`` — no float-rounding divergence. A fixed
+    absolute cap is wrong across scales: at 10× the corpus, true dup
+    clusters are 10× larger and a small constant cap would drop the very
+    shingles that witness them (observed: cap=5 at sf0.1 → 0 pairs)."""
+    return max(5, n_docs // 250)
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sizes AS (SELECT doc_id, len(grams) AS n_grams FROM grams),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    hot AS (SELECT gram FROM ex GROUP BY gram
+            HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 250)),
+    ex2 AS (SELECT * FROM ex ANTI JOIN hot USING (gram)),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM ex2 a JOIN ex2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.n_grams + sb.n_grams - inter), 4) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.n_grams + sb.n_grams - inter) >= 0.08
+    """,
+    bench=True,
+    tags=["dedup", "jaccard", "near-dup", "skew-capped"],
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe n-gram Jaccard: shingles appearing in more than
+    max(5, 0.4% of corpus) documents are dropped from the posting list
+    before the self-join (a stopword shingle shared by d docs otherwise
+    emits d² join rows). Gram-set sizes (the Jaccard denominator) are
+    computed BEFORE the cap, so similarity stays conservative — dropped
+    grams can only lower the score, never invent a pair. The hot-gram set
+    is a tiny aggregate joined broadcast-anti (pinned in
+    tests/test_plans.py); the oracle mirrors the cap exactly. The
+    documents count() feeding the cap is a parquet-metadata aggregate
+    (no data scan)."""
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.08,
+        max_shingle_df=_jaccard_cap(d.count()),
+    )
+
+
 def _minhash_oracle(num_hashes: int = 8) -> str:
     sig_cols = ",\n           ".join(
         f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
@@ -1086,33 +1143,125 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
 
 
+_VE_CTE = (
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve\n"
+    "           FROM embeddings)"
+)
+
+
+def _plane_lit(plane: list[float]) -> str:
+    # repr() round-trips the exact double bit pattern into DuckDB
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _lsh_sig_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """Sign-of-projection signature string, bit-for-bit the Spark one:
+    the hyperplane constants are embedded as literals (hyperplanes() is
+    deterministic), so the md5-free signature reproduces exactly."""
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_lit(p)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _band_exprs_sql(
+    dim: int, n_bands: int, band_planes: int, start_seed: int = 1
+) -> str:
+    """unnest-able list of per-band signature strings, mirroring
+    operators/similarity.py:band_signatures."""
+    return ", ".join(
+        f"'{b}|' || "
+        + _lsh_sig_sql("ve", hyperplanes(dim, band_planes, start_seed + b * band_planes))
+        for b in range(n_bands)
+    )
+
+
+def _ann_lsh_oracle(dim: int = 64, n_bands: int = 8, band_planes: int = 4, k: int = 5) -> str:
+    return f"""
+    WITH {_VE_CTE},
+    bands AS (SELECT vec_id, unnest([{_band_exprs_sql(dim, n_bands, band_planes)}]) AS band FROM v),
+    qb AS (SELECT vec_id AS qid, band FROM bands WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT qb.qid, cb.vec_id AS cid
+             FROM qb JOIN bands cb USING (band) WHERE qb.qid <> cb.vec_id),
+    scored AS (SELECT cand.qid, cand.cid, {_cos_sql('qv.ve', 'cv.ve')} AS cos
+               FROM cand JOIN v qv ON qv.vec_id = cand.qid
+                         JOIN v cv ON cv.vec_id = cand.cid)
+    SELECT qid, cid, round(cos, 4) AS cos, rank FROM (
+      SELECT qid, cid, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # approximate by design; recall asserted vs brute force in pytest
+    _ann_lsh_oracle(),
     tags=["similarity", "ann", "lsh"],
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random-hyperplane signatures)."""
+    """Banded hyperplane-LSH approximate top-k (8 bands × 4 sign bits,
+    union of band matches, exact cosine re-rank).
+
+    Approximate *by construction* yet fully deterministic: the seeded-LCG
+    hyperplanes (operators/similarity.py:hyperplanes) are embedded as SQL
+    literals in the oracle, which reproduces band membership and the
+    bucket join exactly — graded rows+schema+hash like every exact query.
+    Recall vs brute force is additionally pinned in tests/test_ann.py.
+    """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", dim=64, k=5)
 
 
+def _ann_ivf_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 5) -> str:
+    return f"""
+    WITH {_VE_CTE},
+    cent AS (SELECT vec_id AS ctr, ve AS cv FROM v ORDER BY vec_id LIMIT {n_centroids}),
+    ranked AS (SELECT v.vec_id, v.ve, c.ctr,
+                      row_number() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC, c.ctr ASC) AS rk
+               FROM v CROSS JOIN cent c),
+    assign AS (SELECT vec_id, ve, ctr FROM ranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS qid, ve AS qv, ctr FROM ranked
+               WHERE vec_id < 10 AND rk <= {nprobe}),
+    scored AS (SELECT p.qid, a.vec_id AS cid, {_cos_sql('p.qv', 'a.ve')} AS cos
+               FROM probes p JOIN assign a USING (ctr) WHERE p.qid <> a.vec_id)
+    SELECT qid, cid, round(cos, 4) AS cos, rank FROM (
+      SELECT qid, cid, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,  # approximate by design; recall asserted vs brute force in pytest
+    _ann_ivf_oracle(),
     tags=["similarity", "ann", "ivf"],
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k: k-means-trained coarse
-    centroids (pyspark.ml, fixed seed), nprobe-cell search + exact
-    re-rank (operators/similarity.py:ivf_topk)."""
+    """IVF-partitioned approximate top-k with the deterministic
+    zero-training centroids (n lowest-id corpus vectors), so the argmin
+    cell assignment + nprobe probe + re-rank mirror exactly into the
+    DuckDB oracle. The k-means-trained variant (pyspark.ml,
+    train_ivf_centroids) has engine-specific centroids and is
+    recall-pinned in tests/test_ann.py instead. Physical shape is
+    identical either way: corpus scanned once, one shuffle on
+    centroid_id, broadcast probe side."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    cents = train_ivf_centroids(emb, "embedding", n_centroids=8, seed=42)
     return ivf_topk(
         q, emb, "vec_id", "vec_id", "embedding", "embedding",
-        k=5, n_centroids=8, nprobe=3, centroids=cents,
+        k=5, n_centroids=8, nprobe=3, centroids=None,
     )
 
 
@@ -1178,9 +1327,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.40). Exact
-    all-pairs baseline; the LSH bucket join is the 100 TB path."""
+    all-pairs baseline kept as the small-SF verifier; the graded scale
+    path is dedup_embedding_lsh (band equi-join, no cartesian)."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+def _embedding_lsh_oracle(
+    dim: int = 64, threshold: float = 0.40, n_bands: int = 8, band_planes: int = 4
+) -> str:
+    band_exprs = _band_exprs_sql(dim, n_bands, band_planes, NEAR_DUP_SEED)
+    return f"""
+    WITH {_VE_CTE},
+    bands AS (SELECT vec_id, unnest([{band_exprs}]) AS band FROM v),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b USING (band) WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+      SELECT id_a, id_b, {_cos_sql('va.ve', 'vb.ve')} AS cos
+      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+    ) WHERE cos >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    _embedding_lsh_oracle(),
+    bench=True,
+    tags=["dedup", "embedding", "lsh", "near-dup"],
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the 100 TB
+    path. Pair qualifies iff it shares >=1 of 8 four-plane sign bands AND
+    cosine >= 0.40. Deterministic planes ⇒ the oracle reproduces band
+    membership exactly; no CartesianProduct/BNLJ in the plan (pinned in
+    tests/test_plans.py); recall vs the exact all-pairs form pinned in
+    tests/test_ann.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.40, n_bands=8, band_planes=4
+    )
 
 
 @register(
@@ -1222,17 +1407,41 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketch is engine-specific; relative error pinned in pytest
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
     tags=["agg", "approx", "sketch"],
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event_type — the sketch
     path for 100 TB cardinality estimation (exact distinct shuffles every
-    key; the sketch is constant-size per group). Engine-specific values ⇒
-    rows-only driver check + pytest error-bound assertion."""
+    distinct key; the sketch is constant-size per group and map-side
+    combinable).
+
+    The raw HLL estimate is engine-specific, so the graded output is the
+    sketch's *contract*: ``within_bound`` is computed from the live
+    sketch against the exact count (rsd 0.02 → graded at a generous 5%),
+    and the oracle asserts it TRUE alongside the exact counts. A sketch
+    regression flips the row red. Tighter error-curve assertions live in
+    pytest."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
     )
 
 
