@@ -160,6 +160,66 @@ def test_compact_db_subset(db_out):
     assert "rhel-cpe.map" not in files
 
 
+# golden end-to-end shape: one lineage S*→J*→A*→K* over the committed
+# fixtures for every source family, pinned per-bucket (reference analog:
+# dbgen.go main → updater.Update → memdb.UpdateDb; the e2e test the
+# reference itself lacks, SURVEY.md §5)
+GOLDEN_BUCKET_LINES = {
+    "alpine": 2, "amazon": 2, "centos": 5, "chainguard": 2, "debian": 8,
+    "mariner": 2, "oracle": 2, "photon": 5, "rocky": 3, "suse": 1,
+    "ubuntu": 8, "wolfi": 2,
+}
+GOLDEN_NAMESPACES = {
+    "alpine": ["alpine:3.18"],
+    "amazon": ["amzn:2", "amzn:2023"],
+    "centos": ["centos:7", "centos:8"],
+    "chainguard": ["chainguard:rolling"],
+    "debian": ["debian:10", "debian:11", "debian:12", "debian:9", "debian:unstable"],
+    "mariner": ["mariner:1.0"],
+    "oracle": ["oracle:7", "oracle:8"],
+    "photon": ["photon:1", "photon:3"],
+    "rocky": ["rocky:8", "rocky:9"],
+    "suse": ["sles:15.3"],
+    "ubuntu": ["ubuntu:14.04", "ubuntu:16.04", "ubuntu:18.04", "ubuntu:20.04",
+               "ubuntu:21.04", "ubuntu:upstream"],
+    "wolfi": ["wolfi:rolling"],
+}
+GOLDEN_APP_LINES = 20
+
+
+def test_e2e_golden_bucket_membership(db_out):
+    """Every distro source family must land rows in its own bucket with
+    the exact fixture-derived membership — a change in any stage of the
+    lineage (parse, namespace, upsert, enrich, gate, route) moves these."""
+    out_dir, _ = db_out
+    _, files = memdb.read_db_file(os.path.join(out_dir, memdb.REGULAR_DB_NAME))
+    for fam, n in GOLDEN_BUCKET_LINES.items():
+        full = files[f"{fam}_full.tb"].decode().splitlines()
+        idx = files[f"{fam}_index.tb"].decode().splitlines()
+        assert len(full) == len(idx) == n, f"{fam}: {len(full)} full / {len(idx)} idx != {n}"
+        nss = sorted({json.loads(l)["NS"] for l in full})
+        assert nss == GOLDEN_NAMESPACES[fam], f"{fam}: {nss}"
+        # index and full stay row-aligned (same (NS, N) sequence)
+        assert [(json.loads(l)["NS"], json.loads(l)["N"]) for l in full] == [
+            (json.loads(l)["NS"], json.loads(l)["N"]) for l in idx
+        ]
+    assert len(files["apps.tb"].decode().splitlines()) == GOLDEN_APP_LINES
+
+
+def test_e2e_rebuild_is_byte_deterministic(spark, tmp_path_factory, db_out):
+    """Re-running the full pipeline into a fresh dir must reproduce the
+    exact sha manifest: the whole lineage (source parse order, upsert
+    tie-breaks, enrichment coalesces, NDJSON field order, container
+    assembly) is deterministic — the property that makes the output
+    diffable/cacheable across runs, which the reference's channel-arrival
+    nondeterminism cannot guarantee."""
+    os_out, app_out = pipeline.run(spark, ROOT)
+    out_dir = str(tmp_path_factory.mktemp("memdb_rebuild"))
+    shas = memdb.update_db(os_out, app_out, out_dir, version="3.99")
+    _, golden_shas = db_out
+    assert shas == golden_shas
+
+
 def test_partitioned_ndjson_scale_sink(spark, tmp_path_factory, db_out):
     """write_partitioned_ndjson: executor-side partitioned write must hold
     exactly the same lines as the driver-assembled container."""
