@@ -110,6 +110,26 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(emb):
     assert recall >= 0.5, f"banded-LSH recall too low: {recall:.2f}"
 
 
+def test_band_signatures_arrow_matches_expression_path(emb):
+    """The Arrow matmul signature path must agree bit-for-bit with the
+    column-expression fold (the form the DuckDB oracle mirrors) — the
+    sign-safety argument (min |projection| ~2e-6 vs ~1e-15 summation
+    noise) made executable."""
+    from vul_dbgen_spark.operators.similarity import (
+        band_signatures,
+        band_signatures_expr,
+    )
+
+    for seed in (1, 101):
+        got = emb.select(
+            "vec_id", band_signatures(F.col("embedding"), 64, 8, 4, seed).alias("s")
+        ).collect()
+        want = emb.select(
+            "vec_id", band_signatures_expr(F.col("embedding"), 64, 8, 4, seed).alias("s")
+        ).collect()
+        assert {r.vec_id: r.s for r in got} == {r.vec_id: r.s for r in want}
+
+
 def test_kmeans_ivf_recall_at_least_matches_naive(emb):
     from vul_dbgen_spark.operators.similarity import train_ivf_centroids
 

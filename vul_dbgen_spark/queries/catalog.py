@@ -906,6 +906,7 @@ def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
 @register(
     "dedup_minhash_lsh_pairs",
     _minhash_lsh_oracle(8, 2),
+    bench=True,
     tags=["dedup", "minhash", "lsh"],
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,6 +1061,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    bench=True,
     tags=["skew", "two-phase-agg"],
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,6 +1107,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     ORDER BY score DESC, doc_id ASC
     LIMIT 10
     """,
+    bench=True,
     tags=["search", "bm25", "text"],
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
