@@ -55,6 +55,14 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
     qt = F.array(*[F.lit(t) for t in query_terms])
+    # persist: the posting table feeds both the dfreq aggregate and the
+    # final score join — without it the corpus re-tokenizes per consumer
+    # (3 full regex passes instead of 2; stats needs its own pass either
+    # way since it covers non-matching docs too). post is compact:
+    # matching docs × ≤|query| terms only, so the cache is bounded by
+    # the result-relevant slice, not the corpus.
+    from pyspark import StorageLevel
+
     post = (
         toked.select(
             "doc_id",
@@ -63,7 +71,7 @@ def bm25_topk(
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # post is unique per (doc, term) → document frequency is a plain count
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     idf = F.log(1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
