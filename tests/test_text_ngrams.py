@@ -48,3 +48,29 @@ def test_expected_grams(spark):
     assert out[1] == []
     assert out[2] == []
     assert out[3] == ["a a a"]
+
+
+def test_bpe_token_count_semantics(spark):
+    from vul_dbgen_spark.functions.text import bpe_token_count, token_count
+
+    cases = [
+        # (text, expected BPE pieces, note)
+        (0, "don't stop", 3),           # don / 't / (sp)stop — 't binds as contraction
+        (1, "hello world", 2),
+        (2, "x=1; y=2;", 8),            # x / = / 1 / ; / (sp)y / = / 2 / ;
+        (3, "   ", 0),                  # pure whitespace → no pieces
+        (4, "", 0),
+        (5, "abc123", 2),               # letters then digits split
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["id", "text"])
+    got = {
+        r.id: r.n
+        for r in df.select("id", bpe_token_count("text").alias("n")).collect()
+    }
+    for i, t, want in cases:
+        assert got[i] == want, (t, got[i], want)
+    # code-ish text: BPE pieces exceed whitespace tokens (the undercount
+    # whitespace tokenization suffers on punctuation-heavy text)
+    ws = df.select("id", token_count("text").alias("n")).collect()
+    ws = {r.id: r.n for r in ws}
+    assert got[2] > ws[2]

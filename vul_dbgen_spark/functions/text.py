@@ -46,6 +46,34 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, constrained to constructs both Java
+# regex (Spark) and RE2 (DuckDB) support: no lookahead, ASCII classes
+# (the corpus is ASCII; swap in \p{L}/\p{N} for unicode deployments).
+# Order matters — contractions bind before the word branch.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (array<string>): the GPT-2 split regex
+    over raw (un-normalized) text. This is the piece-count basis LLM
+    data pipelines budget by — whitespace tokens undercount code and
+    punctuation-heavy text badly."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+# counting variant: drop the \s+ branch — non-overlapping scan then skips
+# whitespace runs, yielding exactly the non-whitespace piece count (pure
+# whitespace pieces are noise for token budgeting; a real BPE merges them)
+BPE_COUNT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pieces (whitespace runs excluded)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(col, F.lit(BPE_COUNT_PATTERN))
+
+
 # --- "from_tokens" variants -------------------------------------------------
 # Use these when the token array is already projected as a column: lambda
 # bodies (filter/transform/aggregate) inline captured expressions, so an

@@ -763,6 +763,57 @@ _GRAMS3_SQL = (
 
 
 @register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN {_NORM_SQL} = '' THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+                AS INT) AS bpe_tokens
+    FROM documents
+    """,
+    tags=["text", "tokens", "bpe"],
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways an LLM pipeline needs it: whitespace
+    tokens of normalized text, and GPT-2-style BPE pre-tokenizer pieces
+    over the raw text (functions/text.py:BPE_COUNT_PATTERN — pure
+    regexp_count, JVM codegen, no UDF; the regex is constrained to the
+    Java∩RE2 subset so the oracle runs it verbatim)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("int").alias("ws_tokens"),
+        TX.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           substr(text, CAST(i * 448 + 1 AS INT), 512) AS chunk,
+           CAST(length(substr(text, CAST(i * 448 + 1 AS INT), 512)) AS INT) AS chunk_len
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, CAST(ceil(length(text) / 448.0) AS INT) - 1)) AS i
+          FROM documents WHERE length(text) > 0)
+    """,
+    tags=["chunking", "text", "llm-prep"],
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """512-char chunks with 64-char overlap (step 448) — the
+    context-window splitter feeding embedding/tokenization stages
+    (operators/chunking.py; row-local, zero shuffle)."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), "doc_id", "text", size=512, overlap=64
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
@@ -1567,6 +1618,46 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_to_memory(
         ST.sliding_counts(stream, "10 minutes", "5 minutes"),
         "stream_sliding_counts_out",
+    )
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) >= 3600 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=["streaming", "session-window", "watermark"],
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window aggregation (1-hour gap, 30-min
+    watermark): sessions merge while events arrive within the gap of the
+    session end; window end = last event + gap. The oracle is the
+    batch gap-sessionization (new session at diff >= gap) — note the
+    ``>=`` vs the ``>`` in sessionize_events: session_window treats an
+    event exactly gap-after the last as a NEW session because the
+    half-open per-event windows [ts, ts+gap) no longer overlap."""
+    stream = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.session_windows(stream, "1 hour"), "stream_session_windows_out"
     )
 
 

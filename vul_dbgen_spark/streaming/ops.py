@@ -94,6 +94,27 @@ def sliding_counts(
     )
 
 
+def session_windows(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Per-user session windows: events merge while each arrives within
+    ``gap`` of the session's end (session_window semantics: a new
+    session starts when ts - prev_ts >= gap; window end = last event +
+    gap). State is one open session per user, closed and emitted once
+    the watermark passes its end — the streaming twin of the batch
+    lag/cumsum sessionize (queries/catalog.py:sessionize_events)."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def watermarked_distinct(stream: DataFrame, keys: list[str]) -> DataFrame:
     """Streaming dropDuplicates on key columns with a watermark bounding
     the dedup state (the batch equivalent is SELECT DISTINCT keys)."""
