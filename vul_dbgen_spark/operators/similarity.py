@@ -360,6 +360,31 @@ def ivf_topk(
     )
 
 
+def write_ivf_cells(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    corpus_vec: str,
+    centroids: list[tuple[int, list[float]]],
+) -> None:
+    """Materialize the corpus partitioned by IVF cell
+    (``partitionBy("centroid_id")``), so repeated ANN queries prune to
+    their nprobe cells at the parquet-scan level (PartitionFilters —
+    asserted in tests/test_ann.py) instead of re-assigning cells per
+    query. This is the serving-side half of IVF: assignment cost is paid
+    once per corpus refresh, reads scan nprobe/n_centroids of the data."""
+    (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(corpus_vec).alias("cv"),
+            _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

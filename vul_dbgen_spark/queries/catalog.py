@@ -790,6 +790,92 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_test",
+    """
+    SELECT split, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+    tags=["sampling", "split", "llm-prep"],
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-hashed train/test split at 10% (md5-prefix
+    threshold, operators/sampling.py) — engine- and rerun-stable, unlike
+    seeded random sampling; summarized per split. '199a' =
+    round(0.1·65536) in hex, computed by split_threshold_hex."""
+    from ..operators.sampling import deterministic_split
+
+    d = deterministic_split(load(spark, sf_dir, "documents"), "doc_id", 0.1)
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 5 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=["semi-join", "exists", "J4-analog"],
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated count per priority, expressed
+    as the left-semi join Catalyst decorrelates EXISTS into (the positive
+    twin of J4's anti-join culling). Shuffles once on the join key; the
+    lineitem side projects two columns only."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 5)),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=["correlated-subquery", "scalar-agg"],
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) decorrelated into a window aggregate — the brand filter
+    (broadcast semi join) prunes lineitem FIRST, then a single shuffle
+    on l_partkey serves both the per-part average and the row-level
+    comparison (no aggregate-plus-join-back double shuffle)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li_b.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
     "chunk_documents",
     """
     SELECT doc_id,
