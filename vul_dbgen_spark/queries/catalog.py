@@ -858,15 +858,18 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
-    threshold) decorrelated into a window aggregate — the brand filter
-    (broadcast semi join) prunes lineitem FIRST, then a single shuffle
-    on l_partkey serves both the per-part average and the row-level
-    comparison (no aggregate-plus-join-back double shuffle)."""
+    threshold) decorrelated into a window aggregate — the brand semi
+    join prunes lineitem FIRST, then a single shuffle on l_partkey
+    serves both the per-part average and the row-level comparison (no
+    aggregate-plus-join-back double shuffle). The filtered part side
+    carries NO broadcast hint: it scales with SF (~1/25 of parts), so
+    per the bounded-dims-only policy AQE picks broadcast at small SF
+    and falls back to shuffle join at 100 TB."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    li_b = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     w = Window.partitionBy("l_partkey")
     return (
         li_b.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
@@ -1125,6 +1128,79 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
         TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"),
+    )
+
+
+@register(
+    "w4_cube_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')   AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["agg", "cube", "grouping-analytics"],
+)
+def w4_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2² grouping sets in one pass —
+    Catalyst expands to a single Expand + hash aggregate (one shuffle,
+    not one scan per grouping set). Null grouping markers coalesced to
+    '<all>' on both sides so the hash compare is unambiguous."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "approx_pct_order_value",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=["agg", "percentile", "approx", "sketch"],
+)
+def approx_pct_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group — the 100 TB percentile path (KLL-ish
+    sketch, map-side combinable; exact percentile materializes every
+    group's values). Graded like approx_distinct_users: the sketch's
+    *contract* is the output — ``within_bound`` compares the live sketch
+    at accuracy 10000 against the exact interpolated percentile (2%
+    relative tolerance), and the oracle asserts it TRUE next to the
+    exact values. A sketch regression flips the row red."""
+    tol = 0.02
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+            F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("a95"),
+        )
+    )
+    ok = (
+        (F.abs(F.col("a50") - F.col("exact_p50")) <= tol * F.col("exact_p50"))
+        & (F.abs(F.col("a95") - F.col("exact_p95")) <= tol * F.col("exact_p95"))
+    )
+    return agg.select(
+        "o_orderpriority", "exact_p50", "exact_p95", ok.alias("within_bound")
     )
 
 
