@@ -569,6 +569,39 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w5_rank_lag_ntile",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS INT)               AS rnk,
+           CAST(dense_rank() OVER w AS INT)         AS drnk,
+           round(o_totalprice
+                 - coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS delta_prev,
+           CAST(ntile(4) OVER w AS INT)             AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=["window", "rank", "lag", "ntile"],
+)
+def w5_rank_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset/tiling window breadth in one pass: rank,
+    dense_rank, lag-delta and ntile share ONE window spec, so Catalyst
+    plans a single sort+shuffle on (custkey) for all four (one Window
+    node — worth pinning because accidentally divergent specs silently
+    double the shuffles)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("delta_prev"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
     "w2_rollup_region",
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,
