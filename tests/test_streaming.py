@@ -96,3 +96,22 @@ def test_interval_join_equals_batch_range_join(spark, events_batch):
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
     assert want.count() > 0
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_foreachbatch_partitioned_sink(spark, events_batch, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fb_sink") / "events_parts")
+    ST.stream_to_partitioned_sink(ST.events_stream(spark, SF), out, "event_type")
+    landed = spark.read.parquet(out)
+    # every event landed exactly once, under its partition dir
+    assert landed.count() == events_batch.count()
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    want_types = {r.event_type for r in events_batch.select("event_type").distinct().collect()}
+    assert parts == {f"event_type={t}" for t in want_types}
+    # batch_id stamped on every row (availableNow bounded run → small ids)
+    assert landed.filter(F.col("batch_id").isNull()).count() == 0
+    # value-level parity with the batch read
+    got = sorted((r.event_id, r.user_id) for r in landed.select("event_id", "user_id").collect())
+    want = sorted((r.event_id, r.user_id) for r in events_batch.select("event_id", "user_id").collect())
+    assert got == want

@@ -127,6 +127,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Cross-document duplicated substring spans (the character-level
+    dedup signal behind suffix-array substring dedup, Lee et al. 2021's
+    "Deduplicating Training Data Makes Language Models Better" — here as
+    the Spark-shaped strided-fingerprint approximation: exact suffix
+    arrays don't distribute, fingerprinted windows do).
+
+    Every ``span_len``-char window at ``stride`` offsets is fingerprinted
+    (md5 — engine-independent); a span is "duplicated" when the same
+    fingerprint occurs in more than one distinct document. Returns one
+    row per duplicated fingerprint: span occurrence count, number of
+    distinct docs, and the canonical (min doc, min offset) witness.
+
+    Scale shape: explode is row-local (len/stride windows per doc, ~2×
+    text volume at stride=len/2); one hash aggregation on the
+    fingerprint; no joins. Stride trades recall for volume — a
+    duplicated region ≥ span_len + stride chars always contains an
+    aligned duplicated window when the copies share alignment modulo
+    stride (guaranteed for whole-document or paragraph-boundary copies;
+    arbitrary-offset copies need stride=1, the full Lee et al. regime).
+    """
+    n_spans = F.greatest(
+        F.lit(0),
+        F.ceil((F.length(text_col) - F.lit(span_len - 1)) / F.lit(stride)).cast("int"),
+    )
+    span = F.substring(F.col(text_col), F.col("off") * stride + 1, F.lit(span_len))
+    spans = (
+        spread_small_scan(df)
+        .filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("off"),
+        )
+        .select("doc", (F.col("off") * stride).alias("offset"), F.md5(span).alias("fp"))
+    )
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc").alias("n_docs"),
+            F.min(F.struct("doc", "offset")).alias("w"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "fp",
+            "n_spans",
+            "n_docs",
+            F.col("w.doc").alias("witness_doc"),
+            F.col("w.offset").cast("int").alias("witness_offset"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators.asof import asof_join
 from ..operators.dedup import (
+    duplicated_substring_spans,
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -1042,6 +1043,36 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
            {sig_cols}
     FROM grams
     """
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH spans AS (
+      SELECT doc_id AS doc, i * 32 AS off,
+             md5(substr(text, CAST(i * 32 + 1 AS INT), 64)) AS fp
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0,
+                     CAST(ceil((length(text) - 63) / 32.0) AS INT) - 1)) AS i
+            FROM documents WHERE length(text) >= 64)),
+    g AS (SELECT fp, count(*) AS n_spans, count(DISTINCT doc) AS n_docs
+          FROM spans GROUP BY fp),
+    w AS (SELECT fp, doc AS witness_doc, CAST(off AS INT) AS witness_offset,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc, off) AS rn
+          FROM spans)
+    SELECT g.fp, g.n_spans, g.n_docs, w.witness_doc, w.witness_offset
+    FROM g JOIN w USING (fp) WHERE w.rn = 1 AND g.n_docs > 1
+    """,
+    tags=["dedup", "substring", "fingerprint"],
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 64-char spans at stride 32 — the
+    distributed strided-fingerprint form of suffix-array substring dedup
+    (operators/dedup.py:duplicated_substring_spans; row-local explode +
+    one hash agg, no joins)."""
+    return duplicated_substring_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", span_len=64, stride=32
+    )
 
 
 @register(

@@ -94,6 +94,31 @@ def sliding_counts(
     )
 
 
+def stream_to_partitioned_sink(
+    stream: DataFrame, out_dir: str, partition_col: str = "event_type"
+) -> None:
+    """foreachBatch sink: land a stream as partitioned parquet, one
+    append per micro-batch, stamped with batch_id.
+
+    foreachBatch is the streaming↔batch bridge: inside the callback the
+    micro-batch is an ordinary DataFrame, so the batch writers (including
+    sinks/memdb.write_partitioned_ndjson) apply unchanged. Exactly-once
+    at the file level comes from the checkpoint + batch_id stamp —
+    a replayed batch rewrites the same batch_id, making dedup-on-read
+    trivial (filter max batch_id per key) if a failure splits an append."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def session_windows(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
     """Per-user session windows: events merge while each arrives within
     ``gap`` of the session's end (session_window semantics: a new
