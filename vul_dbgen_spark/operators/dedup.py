@@ -187,6 +187,57 @@ def duplicated_substring_spans(
     )
 
 
+def ngram_containment(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval-set decontamination screen: per eval document, the fraction
+    of its distinct word n-grams that appear ANYWHERE in the training
+    corpus (asymmetric containment — Jaccard would dilute a fully-leaked
+    short eval doc inside a long training doc, which is exactly the case
+    that matters).
+
+    Returns (id, n_grams, n_hit, containment, contaminated). Documents
+    with fewer than ``n`` tokens have no grams and are omitted.
+
+    Scale shape: the training side reduces to a DISTINCT gram set (one
+    hash agg, map-side combinable) before the join, so the join keys on
+    grams, not documents; the eval side is typically tiny (benchmarks).
+    At 100 TB the distinct-gram table is still large — a bloom filter
+    built from the eval grams pushed into the train scan
+    (`Filter.. might_contain`) is the next refinement; the equi-join
+    form here is the exact baseline.
+    """
+    tr = (
+        _doc_shingles(train_df, id_col, text_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = _doc_shingles(eval_df, id_col, text_col, n).select(
+        "doc", F.explode("grams").alias("gram")
+    )
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("containment"),
+            (F.col("n_hit") / F.col("n_grams") > threshold).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

@@ -24,6 +24,7 @@ from ..functions import text as TX
 from ..operators.asof import asof_join
 from ..operators.dedup import (
     duplicated_substring_spans,
+    ngram_containment,
     exact_dedup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -1043,6 +1044,45 @@ def _minhash_oracle(num_hashes: int = 8) -> str:
            {sig_cols}
     FROM grams
     """
+
+
+_GRAMS5_SQL = (
+    "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' "
+    "|| toks[i+3] || ' ' || toks[i+4] for i in generate_series(1, len(toks) - 4)])"
+)
+
+
+@register(
+    "decontaminate_eval",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                    THEN 'test' ELSE 'train' END AS split
+               FROM documents),
+    g AS (SELECT doc_id, split, {_GRAMS5_SQL} AS grams FROM t),
+    tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'train'),
+    ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE split = 'test'),
+    hit AS (SELECT ev.doc_id, count(*) AS n_grams, count(tr.gram) AS n_hit
+            FROM ev LEFT JOIN tr USING (gram) GROUP BY ev.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           round(n_hit * 1.0 / n_grams, 4) AS containment,
+           n_hit * 1.0 / n_grams > 0.5 AS contaminated
+    FROM hit
+    """,
+    tags=["decontamination", "containment", "llm-prep"],
+)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination over the deterministic split: for each test
+    document, the fraction of its word 5-grams appearing anywhere in the
+    train side; contaminated if > 0.5 (operators/dedup.py:
+    ngram_containment — asymmetric containment, not Jaccard, so a short
+    fully-leaked eval doc inside a long train doc still scores 1.0)."""
+    from ..operators.sampling import deterministic_split
+
+    d = deterministic_split(load(spark, sf_dir, "documents"), "doc_id", 0.1)
+    train = d.filter(F.col("split") == "train")
+    ev = d.filter(F.col("split") == "test")
+    return ngram_containment(ev, train, "doc_id", "text", n=5, threshold=0.5)
 
 
 @register(
