@@ -238,6 +238,53 @@ def ngram_containment(
     )
 
 
+def ngram_containment_within(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    eval_value: str = "test",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`ngram_containment` when eval and train are split slices of
+    ONE table: tokenize/shingle the corpus once (persisted compact, one
+    row per doc) and derive both sides from the cache — the two-DataFrame
+    form re-tokenizes the full corpus per side, which at 100 TB doubles
+    the dominant scan+regex cost for no reason."""
+    from pyspark import StorageLevel
+
+    from ..functions.text import tokens, word_ngrams_from_tokens
+
+    toked = spread_small_scan(df).select(
+        F.col(id_col).alias("doc"), F.col(split_col).alias("split"), tokens(text_col).alias("toks")
+    )
+    sh = toked.select(
+        "doc", "split", word_ngrams_from_tokens(F.col("toks"), n).alias("grams")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tr = (
+        sh.filter(F.col("split") != eval_value)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("split") == eval_value).select(
+        "doc", F.explode("grams").alias("gram")
+    )
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("hit").alias("n_hit"))
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("containment"),
+            (F.col("n_hit") / F.col("n_grams") > threshold).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:

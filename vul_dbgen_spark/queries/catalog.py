@@ -1069,6 +1069,7 @@ _GRAMS5_SQL = (
            n_hit * 1.0 / n_grams > 0.5 AS contaminated
     FROM hit
     """,
+    bench=True,
     tags=["decontamination", "containment", "llm-prep"],
 )
 def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,12 +1078,13 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train side; contaminated if > 0.5 (operators/dedup.py:
     ngram_containment — asymmetric containment, not Jaccard, so a short
     fully-leaked eval doc inside a long train doc still scores 1.0)."""
+    from ..operators.dedup import ngram_containment_within
     from ..operators.sampling import deterministic_split
 
     d = deterministic_split(load(spark, sf_dir, "documents"), "doc_id", 0.1)
-    train = d.filter(F.col("split") == "train")
-    ev = d.filter(F.col("split") == "test")
-    return ngram_containment(ev, train, "doc_id", "text", n=5, threshold=0.5)
+    return ngram_containment_within(
+        d, "doc_id", "text", "split", eval_value="test", n=5, threshold=0.5
+    )
 
 
 @register(
@@ -1103,6 +1105,7 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.fp, g.n_spans, g.n_docs, w.witness_doc, w.witness_offset
     FROM g JOIN w USING (fp) WHERE w.rn = 1 AND g.n_docs > 1
     """,
+    bench=True,
     tags=["dedup", "substring", "fingerprint"],
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
