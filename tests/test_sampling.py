@@ -52,3 +52,26 @@ def test_split_is_key_coherent(spark):
         .count()
     )
     assert straddle == 0
+
+
+def test_containment_within_matches_two_df_form(spark):
+    """ngram_containment_within (single tokenization pass) must return
+    exactly what the general two-DataFrame form returns on split slices."""
+    from vul_dbgen_spark.operators.dedup import (
+        ngram_containment,
+        ngram_containment_within,
+    )
+    from vul_dbgen_spark.operators.sampling import deterministic_split
+
+    d = deterministic_split(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", 0.1
+    )
+    within = ngram_containment_within(d, "doc_id", "text", "split", "test", n=5)
+    two_df = ngram_containment(
+        d.filter("split = 'test'"), d.filter("split = 'train'"), "doc_id", "text", n=5
+    )
+    key = lambda r: (r.doc_id, r.n_grams, r.n_hit, r.containment, r.contaminated)
+    assert sorted(map(key, within.collect())) == sorted(map(key, two_df.collect()))
+    # the synthetic corpus contains real cross-split leakage — the screen
+    # must actually fire
+    assert within.filter("contaminated").count() > 0
