@@ -63,13 +63,16 @@ def test_dedup_exact_is_one_aggregation(spark):
 
 
 def test_bm25_posting_filter_before_explode(spark):
-    # the query-term filter must run inside the generate step (array
-    # filtered before explode), not as a post-explode row filter over
-    # every corpus token
+    # the query-term filter must be applied BEFORE the explode — the
+    # Generate must blow up the pre-filtered `terms` array (built with
+    # filter(...array_contains...) inside the cached compact projection),
+    # never the raw corpus token array
     opt = _optimized(C.bm25_topk_docs(spark, SF))
-    gen_line = [ln for ln in opt.splitlines() if "Generate explode" in ln]
-    assert gen_line, opt
-    assert "filter(" in gen_line[0]
+    gen_lines = [ln for ln in opt.splitlines() if "Generate explode" in ln]
+    assert gen_lines, opt
+    assert all("explode(terms" in ln for ln in gen_lines), gen_lines
+    build = [ln for ln in opt.splitlines() if "filter(toks" in ln]
+    assert build and "array_contains" in build[0], opt
 
 
 def test_embedding_lsh_has_no_cartesian(spark):

@@ -48,30 +48,32 @@ def bm25_topk(
     Returns (doc_id, score) with score rounded to 4 decimals; ties break
     on doc_id ascending so the cutoff is deterministic.
     """
-    toked = spread_small_scan(df).select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
-    )
-    stats = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
     qt = F.array(*[F.lit(t) for t in query_terms])
-    # persist: the posting table feeds both the dfreq aggregate and the
-    # final score join — without it the corpus re-tokenizes per consumer
-    # (3 full regex passes instead of 2; stats needs its own pass either
-    # way since it covers non-matching docs too). post is compact:
-    # matching docs × ≤|query| terms only, so the cache is bounded by
-    # the result-relevant slice, not the corpus.
+    # ONE tokenization pass total: the persisted compact table holds one
+    # row per doc with just (dl, query-matching terms) — ≤|query| terms
+    # per row, so the cache is bounded by doc count, never token volume.
+    # Corpus stats (over ALL docs — dl is kept even for non-matching
+    # docs), postings, and dfreq all derive from it; without the cache
+    # each consumer re-runs the tokenizer regexes over the full corpus,
+    # the dominant cost at any scale.
     from pyspark import StorageLevel
 
-    post = (
-        toked.select(
+    compact = (
+        spread_small_scan(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .select(
             "doc_id",
             F.size("toks").alias("dl"),
-            F.explode(F.filter("toks", lambda t: F.array_contains(qt, t))).alias("term"),
+            F.filter("toks", lambda t: F.array_contains(qt, t)).alias("terms"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = compact.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    post = (
+        compact.select("doc_id", "dl", F.explode("terms").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # post is unique per (doc, term) → document frequency is a plain count
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     idf = F.log(1 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
