@@ -100,3 +100,32 @@ def test_whole_stage_codegen_covers_q1(spark):
     # "*(n) Op" is the WholeStageCodegen marker in toString form; both the
     # partial and final aggregates must sit inside codegen stages
     assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+# queries allowed a CartesianProduct/BNLJ marker: deliberate exact
+# baselines with a tiny broadcast side (1-row corpus stats, the 10-row
+# query side, the small-SF all-pairs verifier). Everything else must
+# stay equi-join shaped — a new entry appearing here is a 100 TB cliff.
+CARTESIAN_ALLOWED = {"bm25_topk", "ann_cosine_topk", "dedup_embedding_cosine"}
+
+
+def test_no_unexpected_cartesians_anywhere(spark):
+    offenders = []
+    for name, spec in C.REGISTRY.items():
+        if name.startswith("stream_"):
+            continue  # executing eagerly per query is too slow here
+        plan = _plan(spec.fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            if name not in CARTESIAN_ALLOWED:
+                offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_catalog_contract_complete():
+    # every graded entry carries an oracle (the driver counts a missing
+    # oracle as a failure) and at least one tag for COVERAGE mapping
+    missing_oracle = [n for n, s in C.REGISTRY.items() if s.oracle is None]
+    missing_tags = [n for n, s in C.REGISTRY.items() if not s.tags]
+    assert not missing_oracle, missing_oracle
+    assert not missing_tags, missing_tags
+    assert len(C.REGISTRY) >= 58
