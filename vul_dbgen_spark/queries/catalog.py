@@ -571,6 +571,90 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+    tags=["outer-join", "distribution", "two-level-agg"],
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an ON-clause filter (the
+    filter must NOT become a WHERE — that would turn the outer join
+    inner and drop zero-order customers), then a two-level aggregation
+    (per-customer count → distribution). Two shuffles, both on
+    aggregate keys — the semantic minimum."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q21_multi_supplier_orders",
+    """
+    SELECT l.l_suppkey, count(DISTINCT l.l_orderkey) AS n_waiting
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l.l_orderkey
+                    AND l2.l_suppkey <> l.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l.l_orderkey
+                        AND l3.l_suppkey <> l.l_suppkey
+                        AND l3.l_shipdate > l.l_shipdate)
+    GROUP BY l.l_suppkey
+    ORDER BY n_waiting DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+    tags=["exists", "anti-join", "multi-correlation"],
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact (suppliers
+    who were the LAST to ship on multi-supplier orders), decorrelated to
+    a left-semi plus a left-anti self-join. All three scans shuffle on
+    the same key (l_orderkey), so AQE plans them into one exchange
+    lineage; the anti side's shipdate comparison rides the join
+    condition."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    other = li.select(
+        F.col("l_orderkey").alias("o_ok"),
+        F.col("l_suppkey").alias("o_sk"),
+        F.col("l_shipdate").alias("o_sd"),
+    )
+    multi = li.join(
+        other,
+        (F.col("o_ok") == F.col("l_orderkey")) & (F.col("o_sk") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    not_last = multi.join(
+        other,
+        (F.col("o_ok") == F.col("l_orderkey"))
+        & (F.col("o_sk") != F.col("l_suppkey"))
+        & (F.col("o_sd") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_last.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_waiting"))
+        .orderBy(F.col("n_waiting").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+    )
+
+
+@register(
     "w5_rank_lag_ntile",
     """
     SELECT o_orderkey, o_custkey,
@@ -1887,6 +1971,28 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_to_memory(
         ST.sliding_counts(stream, "10 minutes", "5 minutes"),
         "stream_sliding_counts_out",
+    )
+
+
+@register(
+    "stream_static_nation_counts",
+    """
+    SELECT c.c_nationkey, count(*) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_nationkey
+    """,
+    tags=["streaming", "stream-static-join"],
+)
+def stream_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the batch
+    customer dimension (re-planned per micro-batch, broadcast when
+    small), counted per nation — the standard streaming-enrichment
+    pattern; bounded input makes it batch-equivalent."""
+    stream = ST.events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return ST.run_to_memory(
+        ST.stream_static_enrich_counts(stream, customer, "user_id", "c_custkey", "c_nationkey"),
+        "stream_static_nation_counts_out",
     )
 
 

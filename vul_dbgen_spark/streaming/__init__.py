@@ -5,6 +5,7 @@ from .ops import (  # noqa: F401
     session_windows,
     sliding_counts,
     stateful_user_stats,
+    stream_static_enrich_counts,
     stream_to_partitioned_sink,
     tumbling_counts,
     watermarked_distinct,

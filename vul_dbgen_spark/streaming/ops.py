@@ -119,6 +119,23 @@ def stream_to_partitioned_sink(
     q.awaitTermination()
 
 
+def stream_static_enrich_counts(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str, group_col: str
+) -> DataFrame:
+    """Stream-static join + aggregation: enrich each event against a
+    batch dimension table, count per dimension attribute.
+
+    The static side re-plans per micro-batch (so a dim refresh between
+    batches is picked up) and broadcasts when small — no stream-side
+    state is kept for the join itself, unlike stream-stream joins; only
+    the downstream aggregate is stateful."""
+    return (
+        stream.join(dim, stream[stream_key] == dim[dim_key])
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def session_windows(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
     """Per-user session windows: events merge while each arrives within
     ``gap`` of the session's end (session_window semantics: a new
