@@ -18,7 +18,11 @@ def test_threshold_hex():
     assert split_threshold_hex(0.0) == "0000"
     assert split_threshold_hex(0.1) == "199a"
     assert split_threshold_hex(0.5) == "8000"
-    assert split_threshold_hex(1.0) == "10000"  # > any 4-hex prefix → all test
+    # 1.0 must compare ABOVE every 4-hex bucket; the numeric rendering
+    # '10000' would sort below 'ffff' lexicographically ('1' < 'f') and
+    # silently select nothing
+    assert split_threshold_hex(1.0) == "zzzz"
+    assert "ffff" < split_threshold_hex(1.0)
     with pytest.raises(ValueError):
         split_threshold_hex(1.5)
 
@@ -75,3 +79,36 @@ def test_containment_within_matches_two_df_form(spark):
     # the synthetic corpus contains real cross-split leakage — the screen
     # must actually fire
     assert within.filter("contaminated").count() > 0
+
+
+def test_stratified_sample_rates_and_weights(spark):
+    from vul_dbgen_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25}
+    s = stratified_sample(d, "doc_id", "lang", rates, default_rate=0.0)
+    got = {r["lang"]: r for r in s.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    # rate 1.0 keeps everything; rate 0.0 (default) keeps nothing
+    assert got["de"]["count"] == base["de"]
+    assert set(got) == {"en", "de", "fr"}
+    # sampled fractions land near their targets (binomial tolerance)
+    assert abs(got["en"]["count"] / base["en"] - 0.5) < 0.2
+    assert abs(got["fr"]["count"] / base["fr"] - 0.25) < 0.2
+    # inverse-probability weights
+    w = {r["lang"]: r["weight"] for r in s.select("lang", "weight").distinct().collect()}
+    assert w == {"en": 2.0, "de": 1.0, "fr": 4.0}
+
+
+def test_stratified_sample_is_subset_and_stable(spark):
+    from vul_dbgen_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    rates = {"en": 0.3}
+    a = stratified_sample(d, "doc_id", "lang", rates, default_rate=0.2)
+    b = stratified_sample(d.repartition(13), "doc_id", "lang", rates, default_rate=0.2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # a sampled doc stays sampled when its stratum's rate only increases
+    # (nested samples: thresholds are monotone in the rate)
+    wider = stratified_sample(d, "doc_id", "lang", {"en": 0.6}, default_rate=0.4)
+    assert a.select("doc_id").exceptAll(wider.select("doc_id")).count() == 0

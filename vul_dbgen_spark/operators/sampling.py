@@ -23,6 +23,11 @@ def split_threshold_hex(test_frac: float) -> str:
     """The 4-hex-char cutoff under which a key lands in the test split."""
     if not 0.0 <= test_frac <= 1.0:
         raise ValueError("test_frac must be in [0, 1]")
+    if test_frac >= 1.0:
+        # 'zzzz' compares above every 4-hex-char bucket; the numeric
+        # threshold 0x10000 would render as 5 chars and string-compare
+        # BELOW 4-char buckets ('ffff' > '10000' lexicographically).
+        return "zzzz"
     return format(int(round(test_frac * 0x10000)), "04x")
 
 
@@ -45,3 +50,35 @@ def deterministic_split(
     sharing a key (the same reason dedup precedes splitting in a real
     pipeline)."""
     return df.withColumn("split", split_col(key_col, test_frac))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing
+    primitive of training-data curation (keep 100% of books, 30% of
+    common-crawl, ...). Each stratum gets its own md5-prefix threshold,
+    so the sample is a pure function of (key, stratum): rerun-stable,
+    engine-independent, and refreshable incrementally (new rows join the
+    sample or not without disturbing prior rows — a seeded
+    ``df.sampleBy`` re-draws everything on every re-partitioning).
+
+    Adds ``weight`` = 1/rate (Horvitz-Thompson inverse-probability
+    weight) so downstream aggregates stay unbiased after sampling.
+
+    Row-local: the threshold lookup is a broadcast-free CASE chain over
+    the (tiny, driver-known) rates map; no shuffle, fully pushdown-safe.
+    """
+    key = F.col(key_col)
+    bucket = F.substring(F.md5(key.cast("string")), 1, 4)
+    thr = F.lit(split_threshold_hex(default_rate))
+    rate = F.lit(round(default_rate, 6))
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, F.lit(split_threshold_hex(r))).otherwise(thr)
+        rate = F.when(cond, F.lit(round(r, 6))).otherwise(rate)
+    return df.filter(bucket < thr).withColumn("weight", F.round(F.lit(1.0) / rate, 4))

@@ -46,7 +46,10 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
+from ..operators.graph import component_summary, connected_components
+from ..operators.packing import pack_bin_summary, pack_offset_bins
 from ..operators.rangejoin import range_join_bucketed
+from ..operators.sampling import stratified_sample
 from ..operators.search import bm25_topk
 from ..operators.skewjoin import salted_groupby_agg, salted_join
 from .. import streaming as ST
@@ -2095,6 +2098,446 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ST.events_stream(spark, sf_dir)
     return ST.run_to_memory(
         ST.stateful_user_stats(stream), "stream_user_stats_out", output_mode="update"
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 2: relational breadth (TPC-H Q10/Q12/Q14/Q18/Q19/Q22 shapes on the
+# available columns) + graph clustering + packing + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=["multi-join", "top-k", "J1-analog"],
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+    Filters land BEFORE the joins (returnflag into the lineitem scan,
+    the date window into the orders scan — both show as PushedFilters);
+    only nation gets a broadcast hint (bounded at every SF, same policy
+    as q5); customer/orders/lineitem join order is left to Catalyst +
+    AQE. Top-k tie-broken by unique c_custkey."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY ship_year
+    """,
+    tags=["case-sum", "join", "F8-analog"],
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → priority-class on this schema): count
+    late-shipped lines (>60 days after order) split into high/low
+    priority per ship year. The CASE-sums are partial-aggregated
+    map-side; the only shuffle is the orderkey join (the post-join
+    GROUP BY keys on year, a handful of groups — AQE coalesces)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-03-01'
+    """,
+    tags=["case-ratio", "join"],
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over a ship-date window.
+    The date filter prunes lineitem at the scan; part carries NO
+    broadcast hint (scales with SF — bounded-dims-only policy), so AQE
+    broadcasts at small SF and shuffle-joins at 100 TB. Single scalar
+    result from one join + one agg."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-03-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=["agg-having", "top-k", "A4-analog"],
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 (top
+    ~1%), joined back to orders/customer for the report. The HAVING
+    aggregate shrinks lineitem to a tiny key set FIRST; both report
+    joins then run against that reduced side (AQE broadcasts it).
+    Deterministic top-k via unique o_orderkey."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_brand",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=["disjunctive-pushdown", "join"],
+)
+def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-side predicates. Catalyst
+    extracts the single-side conjuncts common to all branches
+    (p_brand IN (...) onto the part scan, l_quantity bounds onto
+    lineitem) so both scans prune before the join; the residual
+    disjunction evaluates post-join in codegen. Expressed as one
+    declarative filter — no manual union-of-three-joins."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    tags=["scalar-subquery", "anti-join", "J4-analog"],
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix → mktsegment on this schema):
+    above-average-balance customers with no orders since 1999. The
+    scalar average is a 1-row aggregate crossed in via broadcast
+    (exactly what Catalyst rewrites an uncorrelated scalar subquery
+    into); the NOT EXISTS is a left-anti join on o_custkey where the
+    orders side is date-pruned at the scan and projects ONE column
+    before the shuffle."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def _cc_assignment_oracle() -> str:
+    """Reachability oracle for connected components: recursive CTE
+    propagates every label along edges to a fixpoint; min reachable id
+    == component min id (graph is symmetrized). Exact — the Spark
+    iteration's result is algorithm-independent."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(8, 2)}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_clusters",
+    _cc_assignment_oracle(),
+    bench=True,
+    tags=["dedup", "graph", "connected-components"],
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: MinHash-LSH candidate pairs →
+    connected components (min-label propagation, operators/graph.py) →
+    every document labeled with its cluster's min doc_id. This is the
+    step that turns pairwise near-dup hits into keep-one-per-group
+    decisions. Singletons label themselves."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    cc = connected_components(
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    SELECT component, count(*) AS n_docs, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ({_cc_assignment_oracle()})
+    GROUP BY component
+    HAVING count(*) >= 2
+    """,
+    tags=["dedup", "graph", "connected-components"],
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group summary over the component assignment: one row
+    per real cluster (size >= 2). One extra map-side-combinable hash agg
+    over the (node, component) table."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    cc = connected_components(
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    return component_summary(cc, min_size=2)
+
+
+_PACK_TOKENS_SQL = (
+    f"CAST(CASE WHEN {_NORM_SQL} = '' THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT)"
+)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, doc_id % 16 AS shard, {_PACK_TOKENS_SQL} AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_offset
+        FROM tok)
+    SELECT doc_id, shard, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin,
+           n_tokens, start_offset
+    FROM packed
+    """,
+    tags=["packing", "window", "llm-prep"],
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via offset binning (operators/packing.py):
+    deterministic (shard, bin) assignment for 2048-token training bins.
+    One shuffle on shard + one WindowExec — no UDF, no sequential
+    state."""
+    return pack_offset_bins(
+        load(spark, sf_dir, "documents"), "doc_id", "text", budget=2048, n_shards=16
+    )
+
+
+@register(
+    "pack_bins_fill",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, doc_id % 16 AS shard, {_PACK_TOKENS_SQL} AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS start_offset
+        FROM tok)
+    SELECT shard, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY shard, bin
+    """,
+    tags=["packing", "window", "llm-prep"],
+)
+def pack_bins_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality monitor: docs and tokens per (shard, bin). The
+    summary agg rides the window's existing shard partitioning — AQE
+    sees the pre-shuffled child and needs no second exchange for the
+    shard-prefixed grouping key."""
+    a = pack_offset_bins(
+        load(spark, sf_dir, "documents"), "doc_id", "text", budget=2048, n_shards=16
+    )
+    return pack_bin_summary(a).withColumn(
+        "bin_tokens", F.col("bin_tokens").cast("bigint")
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang,
+           round(1.0 / (CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
+                        WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25
+                        ELSE 0.1 END), 4) AS weight
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          (CASE lang WHEN 'de' THEN 'zzzz' WHEN 'en' THEN '8000'
+           WHEN 'es' THEN '4000' WHEN 'fr' THEN '4000' ELSE '199a' END)
+    """,
+    tags=["sampling", "stratified", "llm-prep"],
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling with inverse-probability
+    weights (operators/sampling.py:stratified_sample) — the domain-mixing
+    step of corpus curation. Keep all German, half English, a quarter
+    French/Spanish, 10% of the rest; md5-prefix thresholds make the
+    sample a pure function of (doc_id, lang). Row-local, zero shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "fr": 0.25, "es": 0.25, "de": 1.0},
+        default_rate=0.1,
     )
 
 
