@@ -32,6 +32,27 @@ def main() -> None:
     warm.join(warm.selectExpr("r_regionkey as k"), warm.r_regionkey == F.col("k")).groupBy(
         "r_name"
     ).count().collect()
+    # ... and the lazily-initialized execution paths the headline queries
+    # hit first otherwise: the Arrow python-worker pool (pandas UDFs),
+    # WindowExec, and generate/explode codegen each cost seconds on
+    # first use and belong to the JVM/daemon lifecycle, not the query
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda (no type hints): the module's postponed annotations would
+    # otherwise reach pandas_udf as unresolvable strings
+    _warm_udf = pandas_udf(lambda s: s * 1.0, "double")
+    spark.range(1000).select(F.sum(_warm_udf(F.col("id").cast("double")))).collect()
+    (
+        spark.range(1000)
+        .select(F.col("id"), F.explode(F.array(F.lit(1), F.lit(2))).alias("x"))
+        .withColumn(
+            "r", F.sum("x").over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+        )
+        .groupBy("r")
+        .count()
+        .collect()
+    )
 
     # best of 2 runs per query: this box shares the machine with other
     # load (observed ±20% run-to-run noise), so a single sample measures
@@ -39,7 +60,11 @@ def main() -> None:
     # cleared between repeats, so each run re-executes the full lineage
     # (persist() calls inside operators never carry over) — the repeat
     # only removes load spikes, not work.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # 3 repeats (was 2): observed shared-box noise is bimodal — a run
+    # can land 2-4× off when a neighbor bursts — and with 2 samples the
+    # min still inherits one bad draw too often. The third sample costs
+    # ~1 min at sf0.1 and stabilizes the min to the warm-engine number.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in REGISTRY.items():

@@ -88,18 +88,27 @@ def ngram_jaccard_pairs(
     before the self-join — the standard guard against quadratic blowup on
     stopword shingles at 100 TB scale (documented-droppable, off by
     default so the DuckDB oracle can mirror exactly).
+
+    The cap stays a tiny-aggregate + broadcast anti-join on purpose: the
+    tempting "group postings by gram, cap via size() filter, explode
+    pairs from the list" alternative removes the anti-join but measured
+    4-8× SLOWER here — the double explode re-materializes the per-gram
+    array for every outer row (O(d²) struct copies through two Generate
+    operators), while the hash self-join streams the same pairs through
+    codegen without materializing lists. Keep joins for pair generation.
+
+    Each posting carries its doc's gram count, so the pair aggregation
+    groups on (doc_a, doc_b, na, nb) and Jaccard falls out directly — no
+    post-join against a per-doc size table (two fewer joins over the
+    pair table, the big intermediate at scale).
     """
-    # persist: the posting table feeds both self-join sides (and the
-    # hot-shingle aggregate) — without it the tokenize/shingle DAG
-    # recomputes per consumer. MEMORY_AND_DISK spills rather than OOMs on
-    # big corpora. Each posting also carries its doc's gram count, so the
-    # pair aggregation groups on (doc_a, doc_b, na, nb) and Jaccard falls
-    # out directly — no post-join against a per-doc size table (two fewer
-    # joins over the pair table, the big intermediate at scale).
     from pyspark import StorageLevel
 
-    # cache the compact pre-explode table (one row per doc), not the
-    # exploded postings (one row per gram) — ~n× less data to materialize.
+    # persist: the posting table feeds both self-join sides (and the
+    # hot-shingle aggregate) — without it the tokenize/shingle DAG
+    # recomputes per consumer. Cache the compact pre-explode table (one
+    # row per doc), not the exploded postings — ~n× less data to
+    # materialize; MEMORY_AND_DISK spills rather than OOMs.
     sh = _doc_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select("doc", F.size("grams").alias("ng"), F.explode("grams").alias("gram"))
     if max_shingle_df is not None:

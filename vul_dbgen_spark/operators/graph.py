@@ -72,7 +72,7 @@ def connected_components(
         lbl = e.select(F.col("u").alias("node")).distinct()
     lbl = lbl.select("node", F.col("node").alias("component")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # neighbor messages: component[u] offered to v across each edge
         msgs = e.join(lbl, e["u"] == lbl["node"]).select(
             F.col("v").alias("node"), F.col("component")
@@ -83,15 +83,20 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage: plan size stays O(1) per round
         )
-        changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # convergence probe = one small join + count. Round 0 always
+        # changes labels on any graph with an edge, so skip the probe
+        # there — one fewer scheduled action per call.
+        if i > 0:
+            changed = (
+                new_lbl.alias("n")
+                .join(lbl.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                lbl = new_lbl
+                break
         lbl = new_lbl
-        if changed == 0:
-            break
     e.unpersist()
     return lbl
 

@@ -1099,15 +1099,16 @@ def _jaccard_cap(n_docs: int) -> int:
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-safe n-gram Jaccard: shingles appearing in more than
-    max(5, 0.4% of corpus) documents are dropped from the posting list
-    before the self-join (a stopword shingle shared by d docs otherwise
-    emits d² join rows). Gram-set sizes (the Jaccard denominator) are
-    computed BEFORE the cap, so similarity stays conservative — dropped
-    grams can only lower the score, never invent a pair. The hot-gram set
-    is a tiny aggregate joined broadcast-anti (pinned in
-    tests/test_plans.py); the oracle mirrors the cap exactly. The
-    documents count() feeding the cap is a parquet-metadata aggregate
-    (no data scan)."""
+    max(5, 0.4% of corpus) documents are dropped (a stopword shingle
+    shared by d docs otherwise emits d² pair rows). Gram-set sizes (the
+    Jaccard denominator) are computed BEFORE the cap, so similarity
+    stays conservative — dropped grams can only lower the score, never
+    invent a pair. The hot-gram set is a tiny aggregate joined
+    broadcast-anti (pinned in tests/test_plans.py; the grouped
+    posting-list alternative measured 4-8× slower — see
+    operators/dedup.py docstring); the oracle mirrors the cap exactly.
+    The documents count() feeding the cap is a parquet-metadata
+    aggregate (no data scan)."""
     d = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         d,
@@ -2538,6 +2539,37 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         {"en": 0.5, "fr": 0.25, "es": 0.25, "de": 1.0},
         default_rate=0.1,
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=["semi-structured", "json", "S1-analog"],
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the S-family's JSON-feed parsing
+    pattern, e.g. reference updater/fetchers/debian/debian.go JSON scan,
+    re-expressed on the star schema): parse the events.props JSON column
+    with an explicit schema via from_json — JVM-side Jackson parse, no
+    UDF, pruned to the single referenced field — then aggregate per
+    event type."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
     )
 
 
