@@ -2573,6 +2573,78 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_lineitem",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_flags,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    """,
+    tags=["profiling", "multi-distinct", "data-quality"],
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-statement dataset profiling (the health-check sweep a
+    pipeline runs before training ingest): row count, two exact distinct
+    cardinalities, null count, min/max/avg — ONE scan. Multiple exact
+    COUNT(DISTINCT)s compile to Catalyst's Expand rewrite (each row
+    replicated per distinct spec with partial aggregation map-side), so
+    the fact table is still read once; at 100 TB swap exact distincts
+    for approx_count_distinct (the approx_distinct_users contract) to
+    drop the Expand multiplier."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_flags"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "w6_rolling_hour_value",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+    FROM events
+    """,
+    tags=["window", "range-frame", "time-series"],
+)
+def w6_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs w1's ROWS frame): per-user rolling
+    1-hour value sum. Ordered by whole epoch seconds on both engines
+    (Spark's unix_timestamp truncates; the oracle floors to match), so
+    same-second events are frame peers identically. One shuffle on
+    user_id, WindowExec with a range frame — the pattern behind rate
+    limits, rolling quotas, and burst detection on event streams."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
