@@ -2645,6 +2645,302 @@ def w6_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(2, len(toks)),
+                        i -> toks[i-1] || ' ' || toks[i])) AS bg
+          FROM t),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+    m AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY doc_id),
+    f AS (SELECT t.doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 round(CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(toks)) / len(toks) END, 4)
+                     AS dup_token_ratio,
+                 round(coalesce(mx / tot, 0.0), 4) AS top_bigram_frac
+          FROM t LEFT JOIN m ON t.doc_id = m.doc_id)
+    SELECT doc_id, n_tokens, dup_token_ratio, top_bigram_frac,
+           (n_tokens >= 20 AND dup_token_ratio <= 0.6
+            AND top_bigram_frac <= 0.06) AS keep
+    FROM f
+    """,
+    bench=True,
+    tags=["text", "quality", "gopher", "dedup"],
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + keep/drop gate: duplicate-token
+    fraction and most-common-bigram mass fraction per document (the
+    repetition filters of Rae et al. 2021 §A1.1, re-expressed as
+    DataFrame ops). Bigram counting goes explode → two-level hash agg,
+    both keyed by doc_id — one shuffle, then the per-doc reduction is
+    partition-local; the final join back to per-doc token stats is
+    doc_id-to-doc_id on co-partitioned aggregates. The gate compares
+    ROUNDED signals so the decision is engine-reproducible."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.tokens("text").alias("toks"))
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(F.size("toks") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct("toks")) / F.size("toks")
+            ),
+            4,
+        ).alias("dup_token_ratio"),
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= 20)
+            & (F.col("dup_token_ratio") <= 0.6)
+            & (F.col("top_bigram_frac") <= 0.06),
+        )
+    )
+
+
+_PII_TEXT_SQL = (
+    "c_name || ' call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' email ' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com'"
+)
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "pii_redact_contacts",
+    f"""
+    WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS contact FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '{_PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(regexp_replace(contact, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM t
+    """,
+    tags=["text", "pii", "redaction"],
+)
+def pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails/phone numbers with per-row
+    match counts — the pre-training privacy pass. The contact text is
+    composed deterministically from customer columns (the driver corpus
+    carries no organic PII); the regexes are constrained to the
+    Java-regex ∩ RE2 subset (no lookaround, no backrefs) so one pattern
+    set serves both engines. Pure codegen string expressions — narrow,
+    no shuffle, scales embarrassingly."""
+    c = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" email "),
+        F.lower("c_mktsegment"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com"),
+    )
+    t = c.select("c_custkey", contact.alias("contact"))
+    return t.select(
+        "c_custkey",
+        F.regexp_count("contact", F.lit(_PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("contact", F.lit(_PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("contact", _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    x AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len,
+                 unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, doc_len, term, count(*) AS cnt
+           FROM x GROUP BY doc_id, doc_len, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM t),
+    s AS (SELECT tf.doc_id, tf.term, tf.cnt, df.df,
+                 round((tf.cnt * 1.0 / tf.doc_len)
+                       * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.cnt DESC, df.df ASC, tf.term ASC) AS rk
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rk AS INTEGER) AS rk
+    FROM s WHERE rk <= 3
+    """,
+    bench=True,
+    tags=["text", "tfidf", "keywords"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF keyword extraction: top-3 terms per document.
+    Ranking is on exact integers (term frequency desc, document
+    frequency asc, term asc) — engine-reproducible — while the float
+    tf·idf score is carried as output only. The document-frequency
+    vocabulary and the corpus-size scalar are both tiny aggregates
+    joined back with explicit broadcast (a vocabulary is bounded;
+    the term-exploded fact side is not), so the only wide shuffle is
+    the per-doc term count, keyed by doc_id."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.tokens("text").alias("toks"))
+    x = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("doc_len"),
+        F.explode("toks").alias("term"),
+    )
+    tf = x.groupBy("doc_id", "doc_len", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "cnt", "df", "tfidf", "rk")
+    )
+
+
+@register(
+    "embedding_label_centroid",
+    """
+    WITH x AS (SELECT label,
+                      unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                      unnest(embedding) AS val
+               FROM embeddings)
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(avg(val), 6) AS centroid_val,
+           count(*) AS n_vecs
+    FROM x GROUP BY label, pos
+    """,
+    tags=["embedding", "pooling", "centroid"],
+)
+def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean pooling), emitted as
+    (label, dimension, value) rows. posexplode widens 500 vectors to
+    500×64 rows, but the groupBy(label, pos) aggregation is
+    map-side-combinable — partial sums per partition, one shuffle of
+    (labels × dim) partial rows. This is the class-prototype /
+    cluster-centroid primitive behind semantic dedup and k-means-style
+    refinement at corpus scale."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return x.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+@register(
+    "scd2_order_priority_history",
+    """
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+    FROM orders
+    """,
+    tags=["window", "scd2", "warehouse"],
+)
+def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: each
+    customer's order-priority changes become [valid_from, valid_to)
+    intervals via lead() over the per-key event order, the open interval
+    flagged current. One shuffle on the dimension key, WindowExec, no
+    self-join — the standard warehouse history-table build, which the
+    reference's keyed upsert (A9/A10, `apps.go:41`) collapses to
+    last-writer-wins instead of retaining."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "topk_parts_per_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey, l_partkey,
+                        round(sum(l_extendedprice * (1 - l_discount)), 2)
+                            AS revenue,
+                        count(*) AS n_lines
+                 FROM lineitem GROUP BY l_suppkey, l_partkey),
+    r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+              ORDER BY revenue DESC, l_partkey ASC) AS rk FROM rev)
+    SELECT l_suppkey, l_partkey, revenue, n_lines, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    bench=True,
+    tags=["topk-per-group", "window", "agg"],
+)
+def topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: top-3 parts by revenue within every supplier.
+    Two-level plan: hash aggregation on (suppkey, partkey) — partial
+    map-side, one shuffle — then row_number over suppkey on the already
+    reduced table, so the window sees |supplier×part| rows, not raw
+    lineitems. Ranking is on the ROUNDED revenue with a partkey
+    tie-break: deterministic across engines and across partial-sum
+    orders. The per-group-limit shape Spark lacks as a physical rank
+    pushdown is exactly this aggregate-then-window plan."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "n_lines", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
