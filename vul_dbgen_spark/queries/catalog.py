@@ -2807,6 +2807,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back with explicit broadcast (a vocabulary is bounded;
     the term-exploded fact side is not), so the only wide shuffle is
     the per-doc term count, keyed by doc_id."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", TX.tokens("text").alias("toks"))
     x = t.select(
@@ -2814,7 +2816,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("doc_len"),
         F.explode("toks").alias("term"),
     )
-    tf = x.groupBy("doc_id", "doc_len", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    # persist the REDUCED (doc, term) counts: both the vocabulary branch
+    # and the fact side consume tf, and without the persist each branch
+    # re-runs tokenize→explode→aggregate from the scan (the costly part
+    # at corpus scale). n_docs still comes from the raw table (a
+    # column-pruned doc_id scan) because idf's corpus size counts ALL
+    # docs, including zero-token ones absent from tf.
+    tf = (
+        x.groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = t.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
