@@ -2084,6 +2084,43 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_left",
+    """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                  - INTERVAL '2 days' AS w),
+    j AS (SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+                 v.ts AS left_ts, p.ts AS right_ts
+          FROM v LEFT JOIN p
+            ON p.user_id = v.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 day')
+    SELECT left_id, right_id, user_id, left_ts, right_ts
+    FROM j, wm
+    WHERE right_id IS NOT NULL OR left_ts + INTERVAL '1 day' < w
+    """,
+    tags=["streaming", "stream-stream-join", "outer", "watermark"],
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every view,
+    with its within-1-day purchase when one exists. Null-extended rows
+    are emitted only when the global watermark proves no match can still
+    arrive, so on a bounded stream the unmatched set is exactly the
+    views whose join window closed before the final watermark
+    (min of both sides' max event time, minus the 2-day delay) — the
+    condition the oracle mirrors literally. Views whose window was still
+    open at drain are withheld (state discarded at stop), matching
+    production semantics where they would emit on the next batch."""
+    views = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ST.run_to_memory(
+        ST.interval_join(views, purchases, gap="1 day", watermark="2 days", how="left_outer"),
+        "stream_interval_join_left_out",
+        output_mode="append",
+    )
+
+
+@register(
     "stream_user_stats",
     """
     SELECT user_id, count(*) AS n_events,
@@ -2444,6 +2481,47 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
     )
     return component_summary(cc, min_size=2)
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH cc AS ({_cc_assignment_oracle()}),
+    q AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+          FROM documents),
+    r AS (SELECT cc.doc_id, cc.component, q.n_tokens,
+                 row_number() OVER (PARTITION BY cc.component
+                     ORDER BY q.n_tokens DESC, cc.doc_id ASC) AS rk
+          FROM cc JOIN q ON q.doc_id = cc.doc_id)
+    SELECT doc_id, component, n_tokens, (rk = 1) AS keep
+    FROM r
+    """,
+    tags=["dedup", "graph", "canonical-selection"],
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final decision: within every duplicate
+    cluster keep ONE canonical document — the longest (token count),
+    ties to the smallest doc_id — and flag the rest for dropping.
+    Composition of the whole near-dup stack: LSH pairs → connected
+    components → quality join → per-cluster window rank. The rank runs
+    on the (doc, component, quality) table — already reduced, one
+    shuffle on component — not on raw text. Singleton clusters keep
+    their only member, so exactly one keep=true per component."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    cc = connected_components(
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+    q = docs.select("doc_id", F.size(TX.tokens("text")).cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(q, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "n_tokens", "keep")
+    )
 
 
 _PACK_TOKENS_SQL = (

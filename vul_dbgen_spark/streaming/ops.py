@@ -168,14 +168,24 @@ def interval_join(
     right: DataFrame,
     gap: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right events that follow a
-    left event for the same user within ``gap``.
+    """Watermarked stream-stream join: right events that follow a left
+    event for the same user within ``gap``.
 
     Both sides carry a watermark and the join predicate bounds the event
     time skew, so each side's buffered state is evictable — without both,
     a stream-stream join must keep every row forever. State shards by the
     equi-join key (user_id), scaling linearly with executors.
+
+    ``how='left_outer'`` additionally emits null-extended rows for left
+    events that never matched — but only once the global watermark passes
+    the row's join window (left_ts + gap): that is the moment the engine
+    can PROVE no future right row can match. Left rows whose window is
+    still open when a bounded stream drains are never emitted as
+    unmatched — deterministic for bounded input, since the final global
+    watermark is min(max left_ts, max right_ts) - delay, which is exactly
+    the condition the batch oracle mirrors.
     """
     lv = left.select(
         F.col("event_id").alias("left_id"),
@@ -192,7 +202,7 @@ def interval_join(
         (lv.user_id == rv.r_user)
         & (rv.right_ts >= lv.left_ts)
         & (rv.right_ts <= lv.left_ts + F.expr(f"INTERVAL {gap}")),
-        "inner",
+        how,
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
 
 
