@@ -249,9 +249,13 @@ def _encode_run_text(run: str) -> str:
 
 
 _TOKEN_RE = re.compile(r"\d+|\D+")
-# rewrite "...<sep>rcN" → "...~rcN" so the NVSHAS-4818 rule (which fires
-# only when the rc/pre tail follows a separator) becomes plain tilde
-# ordering in key space.
+# rewrite "...<sep>rcN" → "...~rcN": the comparator's NVSHAS-4818
+# amendment is not a total order on arbitrary inputs (it can cycle, see
+# the note in tests/test_version.py), so no key can agree with it
+# everywhere; key space encodes the separator-adjacent rc/pre forms —
+# the ones real feeds contain, pinned as spot pairs — as plain tilde
+# ordering, and tests/test_props.py verifies key↔comparator agreement
+# on the rc/pre-free grammar.
 _RC_NORM_RE = re.compile(r"[._+\-]((?:rc|pre)[0-9])")
 
 
