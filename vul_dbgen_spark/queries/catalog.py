@@ -3031,6 +3031,98 @@ def topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hist_order_totals",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=["profiling", "histogram"],
+)
+def hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (12 buckets of 50k, open
+    top bucket): the value-distribution profile a pipeline dashboards
+    before choosing partition boundaries or spotting drift. Bucketing is
+    a pure projection; one map-side-combinable aggregation shuffles at
+    most 12 partial rows per task — the cheapest possible shape."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)).cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer' AS fk,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+    """,
+    tags=["data-quality", "anti-join", "audit"],
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for three foreign-key
+    edges, one summary row each — the ingest gate that catches a broken
+    upstream export before a join silently drops rows. Fully
+    declarative (no driver-side counts): each edge is a key-only left
+    join against the DISTINCT parent keys folded into one conditional
+    aggregate — a single pass per edge, column-pruned scans, and the
+    three one-row results union for free. The J4 culling anti-join
+    (`sources/rhel.py:cull_rhsa`, reference `rhel.go`) is this same
+    shape used as a filter; here it is the measurement."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        pk = parent.select(F.col(pkey).alias("_pk")).distinct()
+        return (
+            child.select(F.col(ckey).alias("_ck"))
+            .join(pk, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
