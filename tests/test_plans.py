@@ -113,7 +113,41 @@ CARTESIAN_ALLOWED = {
     # exactly-one-row scalar-subquery broadcast (the avg threshold) —
     # bounded at every SF, the canonical uncorrelated-scalar shape
     "q22_dormant_customers",
+    # same shape: the corpus-size scalar (1 row) broadcast into the
+    # tf·idf projection
+    "tfidf_top_terms",
 }
+
+
+def test_profile_uses_expand_single_scan(spark):
+    # multiple exact COUNT(DISTINCT)s must compile to Catalyst's Expand
+    # rewrite over ONE scan — a plan with several scans re-reads the
+    # fact table per distinct spec
+    plan = _plan(C.profile_lineitem(spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_vocab_join_is_broadcast(spark):
+    # the document-frequency vocabulary must broadcast — shuffling the
+    # exploded term table against it would be the 100 TB cliff
+    plan = _plan(C.tfidf_top_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_per_group_aggregates_before_window(spark):
+    # the rank must run over the reduced (suppkey, partkey) aggregate:
+    # exactly two hash exchanges (agg key, then window key), and the
+    # Window node sits above the aggregate, not above the raw scan
+    plan = _plan(C.topk_parts_per_supplier(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.index("Window") < plan.index("Scan parquet")  # toString is top-down
+
+
+def test_scd2_single_shuffle(spark):
+    plan = _plan(C.scd2_order_priority_history(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_no_unexpected_cartesians_anywhere(spark):
