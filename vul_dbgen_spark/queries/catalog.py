@@ -3123,6 +3123,148 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_user_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+        SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+        UNION ALL
+        SELECT 'view>click', (SELECT count(*) FROM c)
+        UNION ALL
+        SELECT 'view>click>purchase', (SELECT count(*) FROM p)
+    )
+    """,
+    tags=["analytics", "funnel", "sequential"],
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click.
+    Each stage is a per-user min-timestamp aggregate filtered by the
+    previous stage's time — aggregate → join → aggregate, all keyed on
+    user_id, so consecutive stages reuse the same hash partitioning
+    (no re-key). The per-stage survivor sets reduce monotonically, so
+    later joins get cheaper, and the final counts are one row each."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("view", v)
+        .unionByName(stage("view>click", c))
+        .unionByName(stage("view>click>purchase", p))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+               FROM events)
+    SELECT f.cohort_week, a.active_week, count(*) AS n_users
+    FROM first f JOIN active a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, a.active_week
+    """,
+    tags=["analytics", "cohort", "retention"],
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted in every week they were active — the engagement decay table
+    behind every retention curve. Two aggregates over the same
+    user_id-keyed shuffle (first-seen, distinct active weeks) joined on
+    user_id, then a tiny (weeks × weeks) final aggregation. Weeks are
+    date_trunc('week') on both engines (Monday-start timestamps)."""
+    e = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        first.join(active, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "snapshot_diff_lineitems",
+    """
+    WITH v1 AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+                FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey),
+    v2 AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+           FROM lineitem WHERE l_linenumber = 2 GROUP BY l_orderkey)
+    SELECT CASE WHEN v1.l_orderkey IS NULL THEN 'added'
+                WHEN v2.l_orderkey IS NULL THEN 'removed'
+                WHEN v1.qty <> v2.qty THEN 'changed'
+                ELSE 'unchanged' END AS diff,
+           count(*) AS n_keys
+    FROM v1 FULL OUTER JOIN v2 ON v1.l_orderkey = v2.l_orderkey
+    GROUP BY diff
+    """,
+    tags=["analytics", "snapshot-diff", "full-outer"],
+)
+def snapshot_diff_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two dataset
+    versions as added / removed / changed / unchanged — the
+    change-data-capture diff a pipeline runs between daily exports
+    (demonstrated on two key-overlapping slices of lineitem). One FULL
+    OUTER join on the key, classification in a codegen CASE projection,
+    then a 4-row aggregate. Both sides shuffle once on the same key; at
+    100 TB pre-bucketed snapshots (operators/bucketing.py) make the
+    diff Exchange-free."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def snap(n: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") == n)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+
+    v1, v2 = snap(1).alias("v1"), snap(2).alias("v2")
+    diff = F.when(F.col("v1.l_orderkey").isNull(), "added").otherwise(
+        F.when(F.col("v2.l_orderkey").isNull(), "removed").otherwise(
+            F.when(F.col("v1.qty") != F.col("v2.qty"), "changed").otherwise("unchanged")
+        )
+    )
+    return (
+        v1.join(v2, F.col("v1.l_orderkey") == F.col("v2.l_orderkey"), "full_outer")
+        .select(diff.alias("diff"))
+        .groupBy("diff")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
