@@ -3265,6 +3265,216 @@ def snapshot_diff_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=["scan-agg", "pushdown"],
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + single global
+    aggregate — the canonical pushdown benchmark. Every predicate
+    reaches the parquet reader (min/max row-group skipping at scale),
+    only 4 columns are read, and the aggregate is a map-side partial
+    reduced into one row; zero wide shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    tags=["multi-join", "disjunctive", "J1-analog"],
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The disjunctive nation-pair predicate is applied AFTER
+    the supplier/customer nation names are attached — but each nation
+    dim is pre-filtered to the two relevant nations before its join, so
+    the big fact joins carry only qualifying rows. nation (25 rows) is
+    broadcast on both legs; lineitem→orders→customer are the only
+    shuffles, all keyed and AQE-planned."""
+    both = ["NATION_1", "NATION_2"]
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(both))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    tags=["multi-join", "conditional-agg", "J2-analog"],
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part volume
+    sold into ASIA, by order year. 7-way join where every dimension leg
+    (nation×2, region, filtered part, supplier) is bounded and
+    broadcast; customer and orders are the real shuffles. The part
+    filter lands on the scan, shrinking lineitem before any wide join.
+    The share is a conditional-sum ratio in one aggregation pass — no
+    second numerator join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=["window-max", "derived-table", "A9-analog"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    argmax supplier(s). The scalar-subquery max is a distributed
+    aggregate reduced to ONE row and broadcast back against the
+    per-supplier relation — no unpartitioned window (which would drag
+    every supplier to a single task at scale) and no second scan of
+    lineitem. Revenue is rounded to cents on both engines BEFORE the
+    max comparison so the argmax row set is engine-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.max_rev)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
