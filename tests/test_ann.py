@@ -198,3 +198,34 @@ def test_kmeans_ivf_recall_at_least_matches_naive(emb):
     ]
     assert len(sizes) == 8
     assert max(sizes) / sum(sizes) < 0.5, sizes
+
+
+def test_int8_quantization_range_and_extremes(emb):
+    from pyspark.sql import functions as F
+    from vul_dbgen_spark.operators.similarity import quantize_int8
+
+    _s, q = quantize_int8(F.col("embedding"))
+    stats = (
+        emb.select(q.alias("q"))
+        .select(
+            F.array_max(F.col("q")).alias("mx"),
+            F.array_min(F.col("q")).alias("mn"),
+            F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).alias("absmx"),
+        )
+        .agg(F.max("mx"), F.min("mn"), F.min("absmx"))
+        .first()
+    )
+    # codes live in [-127, 127] and the max-|x| element always maps to ±127
+    assert stats[0] <= 127 and stats[1] >= -127 and stats[2] == 127
+
+
+def test_int8_topk_recall_vs_exact(emb):
+    from vul_dbgen_spark.operators.similarity import brute_force_topk, quantized_topk
+
+    q = emb.filter(emb.vec_id < 10)
+    exact = brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    quant = quantized_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    ex = {(r.qid, r.cid) for r in exact.collect()}
+    qz = {(r.qid, r.cid) for r in quant.collect()}
+    # int8 error is ~1/254 per element; top-5 sets should overlap heavily
+    assert len(ex & qz) / len(ex) >= 0.8, (len(ex & qz), len(ex))

@@ -112,3 +112,31 @@ def test_stratified_sample_is_subset_and_stable(spark):
     # (nested samples: thresholds are monotone in the rate)
     wider = stratified_sample(d, "doc_id", "lang", {"en": 0.6}, default_rate=0.4)
     assert a.select("doc_id").exceptAll(wider.select("doc_id")).count() == 0
+
+
+def test_sqrt_cap_quotas_and_passthrough(spark):
+    from vul_dbgen_spark.operators.sampling import sqrt_cap_sample
+    import math
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = sqrt_cap_sample(d, "doc_id", "source", scale=10.0)
+    n_by = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    k_by = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in n_by.items():
+        quota = math.ceil(10.0 * math.sqrt(n))
+        # quota binds exactly: min(n, quota) survive, never more
+        assert k_by.get(src, 0) == min(n, quota), (src, n, quota, k_by.get(src))
+
+
+def test_sqrt_cap_stable_and_partition_independent(spark):
+    from vul_dbgen_spark.operators.sampling import sqrt_cap_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(r.doc_id for r in sqrt_cap_sample(d, "doc_id", "source").select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sqrt_cap_sample(d.repartition(13), "doc_id", "source")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b  # survivor set is a pure function of (key, domain)

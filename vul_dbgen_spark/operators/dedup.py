@@ -96,6 +96,10 @@ def ngram_jaccard_pairs(
     array for every outer row (O(d²) struct copies through two Generate
     operators), while the hash self-join streams the same pairs through
     codegen without materializing lists. Keep joins for pair generation.
+    (Also measured: replacing the cap's agg+anti-join with a
+    count-over-gram-partition window — hoping to reuse the join's hash
+    partitioning — is ~7% slower at sf0.1: WindowExec's per-partition
+    sort costs more than the tiny hot-gram aggregate it replaces.)
 
     Each posting carries its doc's gram count, so the pair aggregation
     groups on (doc_a, doc_b, na, nb) and Jaccard falls out directly — no

@@ -15,7 +15,7 @@ either side. Row-local, zero shuffle; the test fraction granularity is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,46 @@ def stratified_sample(
         thr = F.when(cond, F.lit(split_threshold_hex(r))).otherwise(thr)
         rate = F.when(cond, F.lit(round(r, 6))).otherwise(rate)
     return df.filter(bucket < thr).withColumn("weight", F.round(F.lit(1.0) / rate, 4))
+
+
+def sqrt_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    scale: float = 10.0,
+) -> DataFrame:
+    """Temperature-flattening domain sampler: each domain keeps at most
+    ``ceil(scale * sqrt(n_domain))`` rows — big domains are downsampled
+    toward the square root of their size, small domains pass through
+    whole. This is the mixture-flattening move of multi-source training
+    corpora (common-crawl must not drown the long tail) expressed with
+    NO cross-domain normalization: the quota is a pure per-domain
+    function, so it avoids global-sum floating-point that could differ
+    between engines (sqrt and ceil are exact; pow(n, alpha) is not
+    correctly-rounded and round-trips differently across libm builds).
+
+    Which rows survive is deterministic in (key, domain): rows are
+    ranked within their domain by (md5(key), key) and the smallest-hash
+    ``quota`` rows win — rerun-stable and engine-independent, like every
+    sampler in this module.
+
+    Shape: one tiny per-domain count aggregate (broadcast back) + one
+    rank window partitioned by domain. At 100 TB the window's
+    per-domain sort is the cost; the scale refinement is a two-phase
+    pick — row-local hash-threshold prefilter at quota/n with slack,
+    exact rank only over the survivors — which trades a second tiny
+    aggregate for sorting ~quota rows instead of n. The single-window
+    form here is the exactly-oracle-mirrorable one.
+    """
+    key, dom = F.col(key_col), F.col(domain_col)
+    counts = df.groupBy(dom.alias("_dom")).agg(F.count(F.lit(1)).alias("_n"))
+    quota = counts.select(
+        "_dom", F.ceil(F.lit(float(scale)) * F.sqrt(F.col("_n"))).alias("_quota")
+    )
+    w = Window.partitionBy(dom).orderBy(F.md5(key.cast("string")).asc(), key.asc())
+    return (
+        df.join(F.broadcast(quota), dom == F.col("_dom"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_dom", "_quota", "_rk")
+    )

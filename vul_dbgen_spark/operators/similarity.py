@@ -461,3 +461,68 @@ def embedding_lsh_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def quantize_int8(vec_col: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: ``scale = 127 / max|x|``,
+    ``q_i = floor(x_i * scale + 0.5)`` — the memory-bandwidth lever for
+    100 TB ANN (4× smaller vectors than float32, 8× than float64).
+
+    floor(v + 0.5), not round(): floor on a double is exact and
+    identical in every engine, while round() half-way tie-breaking
+    differs between implementations — this keeps the quantized vectors
+    bit-for-bit reproducible in the DuckDB oracle. The zero-vector guard
+    (greatest with 1e-30) only ever fires on all-zero embeddings, which
+    quantize to all-zero regardless of scale.
+
+    Returns (scale_col, qvec_col); qvec stays array<int> so the
+    dot-product terms (|q| <= 127, so |term| <= 16129) and norms are
+    exact integers in double arithmetic — quantized cosine is therefore
+    summation-order-independent and reproduces EXACTLY across engines,
+    a stronger determinism property than the float cosine path.
+    """
+    absmax = F.greatest(
+        F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    scale = F.lit(127.0) / absmax
+    qvec = F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+    )
+    return scale, qvec
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (approximate by
+    quantization error only — no candidate pruning, so ranking quality
+    degrades gracefully and deterministically).
+
+    Same join shape as :func:`brute_force_topk` (broadcast query side ×
+    one corpus scan), but the inner loop is integer multiply-adds over
+    int8 codes: per-vector scales cancel out of the cosine entirely
+    (cos(sa·qa, sb·qb) = cos(qa, qb)), so only the codes are carried."""
+    _qs, qq = quantize_int8(F.col(query_vec))
+    _cs, cq = quantize_int8(F.col(corpus_vec))
+    q = queries.select(F.col(query_id).alias("qid"), qq.alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("cid"), cq.alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("qcos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("qcos", 4).alias("qcos"), "rank")
+    )

@@ -3475,6 +3475,75 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_int8_topk",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q8 AS (SELECT vec_id,
+                  list_transform(ve, x -> floor(x * (127.0 / greatest(
+                      list_max(list_transform(ve, y -> abs(y))), 1e-30)) + 0.5)) AS qv
+           FROM v),
+    q AS (SELECT vec_id AS qid, qv FROM q8 WHERE vec_id < 10),
+    scored AS (SELECT q.qid, c.vec_id AS cid,
+                      list_dot_product(q.qv, c.qv)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.qv, c.qv))) AS qcos
+               FROM q CROSS JOIN q8 c WHERE q.qid <> c.vec_id)
+    SELECT qid, cid, round(qcos, 4) AS qcos, rank FROM (
+      SELECT qid, cid, qcos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "ann", "quantization"],
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over int8-quantized embeddings — the
+    memory-bandwidth scale lever (4× smaller vectors; per-vector scales
+    cancel out of cosine so only codes ship). floor(x*scale + 0.5)
+    quantization and integer dot products are EXACT in double
+    arithmetic, so unlike the float path this matches the DuckDB oracle
+    bit-for-bit regardless of summation order."""
+    from ..operators.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+
+
+@register(
+    "sample_sqrt_cap",
+    """
+    WITH quota AS (SELECT source AS dom,
+                          CAST(ceil(10.0 * sqrt(count(*))) AS BIGINT) AS q
+                   FROM documents GROUP BY source),
+    ranked AS (SELECT d.source, d.doc_id,
+                      row_number() OVER (PARTITION BY d.source
+                          ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+                                   d.doc_id ASC) AS rk
+               FROM documents d)
+    SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM ranked r JOIN quota ON quota.dom = r.source
+    WHERE r.rk <= quota.q
+    GROUP BY r.source
+    """,
+    tags=["sampling", "mixture", "training-data"],
+)
+def sample_sqrt_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattening domain mixture: keep at most
+    ceil(10·sqrt(n)) docs per source, survivors chosen by smallest
+    (md5(doc_id), doc_id) within the domain — deterministic,
+    engine-independent, no cross-domain float normalization (sqrt/ceil
+    are exact where pow() is not). Graded on the per-source kept
+    counts."""
+    from ..operators.sampling import sqrt_cap_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sqrt_cap_sample(docs, "doc_id", "source", scale=10.0)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
