@@ -24,6 +24,7 @@ from vul_dbgen_spark.queries import catalog as _catalog  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _catalog.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 

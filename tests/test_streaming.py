@@ -14,9 +14,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from vul_dbgen_spark.session import apply_testdata_confs, normalize_event_ts
+
+    apply_testdata_confs(spark)
+    return normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
 
 
 def test_tumbling_equals_batch_groupby(spark, events_batch):

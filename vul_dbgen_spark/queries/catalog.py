@@ -52,6 +52,7 @@ from ..operators.rangejoin import range_join_bucketed
 from ..operators.sampling import stratified_sample
 from ..operators.search import bm25_topk
 from ..operators.skewjoin import salted_groupby_agg, salted_join
+from ..session import apply_testdata_confs, normalize_event_ts
 from .. import streaming as ST
 
 TABLES = [
@@ -69,15 +70,14 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # the driver may hand us a session without our tuned configs
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver may hand us a session without our tuned configs; both
+    # confs are consulted at schema-inference time so per-read set works
+    apply_testdata_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; convert losslessly (the
-        # driver data is microsecond-aligned) without leaving the JVM.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts has shipped as TIMESTAMP(NANOS) (round 1) and tz-less
+        # timestamp[us] (round 2); normalize to TimestampType either way
+        df = normalize_event_ts(df)
     return df
 
 
@@ -3188,9 +3188,9 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cohort_retention",
     """
-    WITH first AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    WITH first AS (SELECT user_id, min(date_trunc('week', ts)::DATE) AS cohort_week
                    FROM events GROUP BY user_id),
-    active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
                FROM events)
     SELECT f.cohort_week, a.active_week, count(*) AS n_users
     FROM first f JOIN active a ON a.user_id = f.user_id
@@ -3204,9 +3204,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind every retention curve. Two aggregates over the same
     user_id-keyed shuffle (first-seen, distinct active weeks) joined on
     user_id, then a tiny (weeks × weeks) final aggregation. Weeks are
-    date_trunc('week') on both engines (Monday-start timestamps)."""
+    date_trunc('week') cast to DATE on both engines (Monday-start;
+    DuckDB's date_trunc('week', timestamp[us]) yields DATE natively)."""
     e = load(spark, sf_dir, "events")
-    wk = F.date_trunc("week", F.col("ts"))
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
     first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
     active = e.select("user_id", wk.alias("active_week")).distinct()
     return (

@@ -20,6 +20,33 @@ def _pythonpath_with_repo() -> str:
     return f"{_REPO_ROOT}:{existing}" if existing else _REPO_ROOT
 
 
+def apply_testdata_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the driver
+    harness hands us its own). Both are read at schema-inference time, so
+    setting them immediately before a read is sufficient."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def normalize_event_ts(df):
+    """Return ``df`` with ``ts`` as session-tz TimestampType regardless of
+    how the parquet stored it: long nanos (TIMESTAMP(NANOS) under
+    ``nanosAsLong`` — round-1 testdata), TIMESTAMP_NTZ (tz-less
+    timestamp[us] when NTZ inference is on), or already TimestampType.
+    All conversions are JVM-side column expressions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        # microsecond-aligned nanos → lossless div
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        # wall-clock-preserving under the UTC session timezone
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def get_spark(
     app_name: str = "vul_dbgen_spark",
     cpus: int | None = None,
@@ -56,6 +83,10 @@ def get_spark(
         # reader rejects; read as long and convert (lossless: the data is
         # microsecond-aligned). Keeps the scan distributed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are tz-less timestamp[us]; read them as
+        # session-tz TimestampType (legacy behavior) so literal compares,
+        # window functions, and the DuckDB oracle (UTC-naive) all agree
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Python workers must import this package for the Arrow UDFs
         # (version comparator, range parsers) regardless of the driver's
         # cwd; on a real cluster the equivalent is --py-files

@@ -37,9 +37,12 @@ from pyspark.sql.types import (
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (bounded: availableNow
-    drains it and terminates). ts arrives as long nanos under
-    ``nanosAsLong`` — converted JVM-side before any windowing."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    drains it and terminates). ts is normalized to TimestampType whether
+    the parquet stored nanos (→ long under ``nanosAsLong``) or tz-less
+    micros — converted JVM-side before any windowing."""
+    from ..session import apply_testdata_confs, normalize_event_ts
+
+    apply_testdata_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stream = (
@@ -47,7 +50,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def run_to_memory(
