@@ -109,6 +109,9 @@ def test_whole_stage_codegen_covers_q1(spark):
 CARTESIAN_ALLOWED = {
     "bm25_topk",
     "ann_cosine_topk",
+    # same shape as ann_cosine_topk: broadcast bounded query side (10
+    # rows) × single corpus scan — linear in corpus, not quadratic
+    "ann_int8_topk",
     "dedup_embedding_cosine",
     # exactly-one-row scalar-subquery broadcast (the avg threshold) —
     # bounded at every SF, the canonical uncorrelated-scalar shape

@@ -3188,9 +3188,9 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cohort_retention",
     """
-    WITH first AS (SELECT user_id, min(date_trunc('week', ts)::DATE) AS cohort_week
+    WITH first AS (SELECT user_id, min(date_trunc('week', ts)::TIMESTAMP) AS cohort_week
                    FROM events GROUP BY user_id),
-    active AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
+    active AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS active_week
                FROM events)
     SELECT f.cohort_week, a.active_week, count(*) AS n_users
     FROM first f JOIN active a ON a.user_id = f.user_id
@@ -3204,10 +3204,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind every retention curve. Two aggregates over the same
     user_id-keyed shuffle (first-seen, distinct active weeks) joined on
     user_id, then a tiny (weeks × weeks) final aggregation. Weeks are
-    date_trunc('week') cast to DATE on both engines (Monday-start;
-    DuckDB's date_trunc('week', timestamp[us]) yields DATE natively)."""
+    date_trunc('week') as TIMESTAMP on both engines (Monday-start;
+    DuckDB's date_trunc('week', timestamp[us]) yields DATE natively, so
+    the oracle casts back — TIMESTAMP survives both native and
+    pandas-datetime64 result normalization identically)."""
     e = load(spark, sf_dir, "events")
-    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    wk = F.date_trunc("week", F.col("ts"))
     first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
     active = e.select("user_id", wk.alias("active_week")).distinct()
     return (
