@@ -1,0 +1,78 @@
+"""Candidate-verify near-dup, canonicalization dedup, and length-decile
+stratification: constructed-case semantics beyond the oracle parity check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.queries.catalog import (
+    dedup_canonical_text,
+    dedup_lsh_edit_verify,
+    text_length_deciles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_edit_verify_flags_near_dups_only(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("tonight", "today")),  # near-dup of 1
+        (3, "completely unrelated text about spark query planning engines"),
+    ] + [(10 + i, f"filler document number {i} with unique words w{i} x{i}") for i in range(5)]
+    d = _docs(spark, [(i, t) for i, t in rows])
+    out_dir = str(tmp_path / "docs")
+    d.write.parquet(f"{out_dir}/documents.parquet")
+    out = dedup_lsh_edit_verify(spark, out_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.is_dup and r.edit_dist > 0 and r.rel_edit <= 0.4
+    # the unrelated doc never reaches the verify stage with doc 1 or 2
+    assert not any(3 in p for p in pairs)
+
+
+def test_canonical_links_formatting_variants(spark, tmp_path):
+    d = _docs(
+        spark,
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "goodbye world"),
+        ],
+    )
+    out_dir = str(tmp_path / "docs")
+    d.write.parquet(f"{out_dir}/documents.parquet")
+    got = {r.doc_id: (r.canonical_id, r.n_canon) for r in dedup_canonical_text(spark, out_dir).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)
+
+
+def test_length_deciles_partition_and_bounds(spark):
+    out = text_length_deciles(spark, SF)
+    rows = out.collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        rs = sorted(rs, key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, len(rs) + 1))
+        # deciles tile the length axis: non-overlapping, ordered ranges
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_chars <= b.min_chars
+        # decile sizes differ by at most one row (ntile contract)
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+    # full partition: every doc is in exactly one decile
+    total = sum(r.n_docs for r in rows)
+    docs = out.sparkSession.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == docs

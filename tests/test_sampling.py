@@ -140,3 +140,58 @@ def test_sqrt_cap_stable_and_partition_independent(spark):
         .collect()
     )
     assert a == b  # survivor set is a pure function of (key, domain)
+
+
+def test_priority_sample_matches_reference_computation(spark):
+    """Top-k by w/u must agree with a driver-side md5 recomputation."""
+    import hashlib
+
+    from vul_dbgen_spark.operators.sampling import priority_sample
+
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.length("text").cast("bigint").alias("w"))
+    )
+    rows = {r.doc_id: r.w for r in d.collect()}
+
+    def prio(doc_id, w):
+        v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16)
+        return w * 16777216.0 / (v + 1)
+
+    want = sorted(rows, key=lambda k: (-prio(k, rows[k]), k))[:50]
+    got = [r.doc_id for r in priority_sample(d, "doc_id", "w", k=50).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_priority_sample_weight_monotone_and_stable(spark):
+    """Same u (same key set): scaling one row's weight up can only pull it
+    INTO the sample, never out; result is partition-independent."""
+    from vul_dbgen_spark.operators.sampling import priority_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").cast("bigint").alias("w")
+    )
+    a = {r.doc_id for r in priority_sample(d, "doc_id", "w", k=30).collect()}
+    b = {
+        r.doc_id
+        for r in priority_sample(d.repartition(11), "doc_id", "w", k=30).collect()
+    }
+    assert a == b
+    boosted = d.withColumn(
+        "w", F.when(F.col("doc_id").isin(*list(a)[:5]), F.col("w") * 100).otherwise(F.col("w"))
+    )
+    c = {r.doc_id for r in priority_sample(boosted, "doc_id", "w", k=30).collect()}
+    assert set(list(a)[:5]) <= c  # boosting a sampled row keeps it sampled
+
+
+def test_priority_sample_is_topk_plan(spark):
+    """The global top-k must compile to TakeOrderedAndProject — no full
+    sort, no exchange of the data."""
+    from vul_dbgen_spark.operators.sampling import priority_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").cast("bigint").alias("w")
+    )
+    plan = priority_sample(d, "doc_id", "w", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

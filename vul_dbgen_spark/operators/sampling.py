@@ -84,6 +84,43 @@ def stratified_sample(
     return df.filter(bucket < thr).withColumn("weight", F.round(F.lit(1.0) / rate, 4))
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Weighted top-k sampling without replacement via *priority
+    sampling* (Duffield–Lund–Thorup): each row gets priority = w / u
+    with u uniform in (0, 1], and the k largest priorities form the
+    sample — inclusion probability is proportional to weight, and the
+    scheme is the order-statistic dual of Efraimidis–Spirakis u^(1/w)
+    (same sample, monotone transform) while using ONE division instead
+    of a transcendental pow/log, so the arithmetic is correctly-rounded
+    IEEE and bit-identical across engines.
+
+    u is derived from md5(key): the first 6 hex chars as an integer v in
+    [0, 16^6), u = (v+1)/16^6 — deterministic in the key like every
+    sampler in this module (rerun-stable, engine-independent, no seed).
+    priority = w * 16^6 / (v+1) keeps it to one multiply + one divide.
+
+    Shape: row-local projection + global top-k. Spark compiles
+    orderBy().limit(k) to TakeOrderedAndProject — per-partition heaps of
+    k rows, only k rows per partition reach the driver-side merge; no
+    full sort, no shuffle of the data. The 100 TB cost is exactly one
+    scan."""
+    key = F.col(key_col)
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast("bigint")
+    priority = F.col(weight_col).cast("double") * F.lit(16777216.0) / (v + F.lit(1)).cast(
+        "double"
+    )
+    return (
+        df.withColumn("priority", F.round(priority, 4))
+        .orderBy(F.col("priority").desc(), key.asc())
+        .limit(k)
+    )
+
+
 def sqrt_cap_sample(
     df: DataFrame,
     key_col: str,

@@ -3547,6 +3547,152 @@ def sample_sqrt_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+@register(
+    "sample_weighted_priority",
+    """
+    WITH w AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS w,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS v
+               FROM documents)
+    SELECT doc_id, source, w, round(w * 16777216.0 / (v + 1), 4) AS priority
+    FROM w ORDER BY priority DESC, doc_id ASC LIMIT 100
+    """,
+    tags=["sampling", "weighted", "training-data"],
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-100 sample (priority sampling, Duffield–Lund–Thorup):
+    priority = w/u with u from md5(doc_id), largest k win — inclusion
+    proportional to weight with one IEEE-exact divide (no pow/log), so
+    the sample is bit-identical across engines. Weight = document char
+    length (longer docs proportionally likelier — the token-budget
+    weighting of corpus curation). Spark compiles the global top-k to
+    TakeOrderedAndProject: per-partition k-heaps, no full sort."""
+    from ..operators.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("w")
+    )
+    return priority_sample(d, "doc_id", "w", k=100)
+
+
+@register(
+    "dedup_lsh_edit_verify",
+    f"""
+    WITH cand AS ({_minhash_lsh_oracle(8, 2)})
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           round(levenshtein(da.text, db.text)
+                 / greatest(len(da.text), len(db.text)), 4) AS rel_edit,
+           levenshtein(da.text, db.text)
+             / greatest(len(da.text), len(db.text)) <= 0.4 AS is_dup
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+    tags=["dedup", "lsh", "verify", "edit-distance"],
+)
+def dedup_lsh_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation → verification near-dup: MinHash-LSH band
+    join proposes pairs (bounded by true near-dup clusters, never
+    |docs|²), then an exact edit-distance check verifies each candidate
+    — the classic two-stage shape where the expensive O(len²)
+    comparison runs ONLY on candidates. At 100 TB the verify stage is
+    embarrassingly parallel over the (small) pair set; the relative
+    edit distance and keep/drop flag are graded."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+            F.greatest(F.length("_ta"), F.length("_tb")).alias("_maxlen"),
+        )
+    )
+    rel = F.col("edit_dist") / F.col("_maxlen")
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        F.round(rel, 4).alias("rel_edit"),
+        (rel <= 0.4).alias("is_dup"),
+    )
+
+
+@register(
+    "dedup_canonical_text",
+    f"""
+    WITH c AS (SELECT doc_id, {_NORM_SQL} AS canon FROM documents)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY canon) AS canonical_id,
+           CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_canon
+    FROM c
+    """,
+    tags=["dedup", "canonicalization"],
+)
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: lower → strip punctuation → collapse
+    whitespace, then link every doc to the smallest doc_id sharing its
+    canonical form — catches the formatting-only duplicates exact
+    hashing misses. One shuffle on the canonical string (at 100 TB,
+    hash the canon to a fixed-width fingerprint first so the exchange
+    carries 16 bytes, not documents — same move as dedup_exact)."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select("doc_id", TX.normalize_text("text").alias("_canon"))
+    w = Window.partitionBy("_canon")
+    return c.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("n_canon"),
+    )
+
+
+@register(
+    "text_length_deciles",
+    """
+    WITH d AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars
+               FROM documents),
+    t AS (SELECT source, n_chars,
+                 CAST(ntile(10) OVER (PARTITION BY source
+                     ORDER BY n_chars ASC, doc_id ASC) AS INT) AS decile
+          FROM d)
+    SELECT source, decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM t GROUP BY source, decile
+    """,
+    tags=["text", "profiling", "stratification"],
+)
+def text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain length-decile profile: ntile(10) over (length, doc_id)
+    inside each source, then decile boundaries + counts — the
+    stratification table behind length-balanced batch construction and
+    truncation policy. Fully deterministic (total ordering via the
+    doc_id tie-break). One shuffle on source for the window; the
+    aggregate reuses the window's partitioning, so no second
+    exchange."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
