@@ -76,3 +76,29 @@ def test_length_deciles_partition_and_bounds(spark):
     total = sum(r.n_docs for r in rows)
     docs = out.sparkSession.read.parquet(f"{SF}/documents.parquet").count()
     assert total == docs
+
+
+def test_ngram_doc_freq_topk_contract(spark):
+    from vul_dbgen_spark.queries.catalog import ngram_doc_freq
+
+    rows = ngram_doc_freq(spark, SF).collect()
+    assert len(rows) == 50
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # per-doc-distinct grams: document frequency can never exceed |docs|
+    assert counts[0] <= n_docs
+
+
+def test_centroid_confusion_total_and_separability(spark):
+    from vul_dbgen_spark.queries.catalog import centroid_assign_confusion
+
+    rows = centroid_assign_confusion(spark, SF).collect()
+    total = sum(r.n for r in rows)
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert total == n_vecs  # every vector assigned to exactly one centroid
+    diag = sum(r.n for r in rows if r.label == r.pred_label)
+    # the synthetic labels are noisy but not random — nearest-centroid
+    # must beat the 10-class chance floor by a wide margin (observed
+    # ~0.37 at sf0.001)
+    assert diag / total > 0.25

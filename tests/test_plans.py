@@ -112,6 +112,8 @@ CARTESIAN_ALLOWED = {
     # same shape as ann_cosine_topk: broadcast bounded query side (10
     # rows) × single corpus scan — linear in corpus, not quadratic
     "ann_int8_topk",
+    # broadcast 10-row centroid table × single vector scan
+    "centroid_assign_confusion",
     "dedup_embedding_cosine",
     # exactly-one-row scalar-subquery broadcast (the avg threshold) —
     # bounded at every SF, the canonical uncorrelated-scalar shape

@@ -3693,6 +3693,113 @@ def text_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_doc_freq",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, unnest({_GRAMS3_SQL}) AS gram FROM toks)
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_docs DESC, gram ASC LIMIT 50
+    """,
+    tags=["text", "ngram", "boilerplate"],
+)
+def ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 trigrams by document frequency — the boilerplate detector
+    of corpus curation (grams shared by a large fraction of docs are
+    headers/footers/templates, candidates for removal before training).
+    Grams are per-doc distinct, so the count IS document frequency.
+    Explode → map-side-combinable count → global top-k
+    (TakeOrderedAndProject; total order via the gram tie-break). At
+    100 TB the gram aggregate is one shuffle of partial counts."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    g = t.select(
+        F.explode(TX.word_ngrams_from_tokens(F.col("toks"), 3)).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "centroid_assign_confusion",
+    """
+    WITH x AS (SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                      unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
+               FROM embeddings),
+    cent AS (SELECT label AS clabel, pos, round(avg(val), 6) AS cv
+             FROM x GROUP BY label, pos),
+    cvec AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY clabel),
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    scored AS (SELECT v.vec_id, v.label, c.clabel,
+                      list_dot_product(ve, ve) + list_dot_product(cvec, cvec)
+                        - 2 * list_dot_product(ve, cvec) AS d2
+               FROM v CROSS JOIN cvec c),
+    pred AS (SELECT vec_id, label, clabel AS pred_label,
+                    row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2 ASC, clabel ASC) AS rk
+             FROM scored)
+    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1 GROUP BY label, pred_label
+    """,
+    tags=["embedding", "classification", "centroid"],
+)
+def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label assignment + confusion matrix — the
+    embedding-space quality eval (how separable are the labels under
+    mean-pooled prototypes?). Centroids are rounded to 6 decimals before
+    the distance pass so both engines score bit-identical vectors;
+    ||x-c||² expands to three dot products folded in identical
+    left-to-right order. The 10-row centroid table broadcasts; the
+    argmin is a min(struct(d2, label)) aggregate — map-side combinable,
+    no per-vector window. One centroid shuffle (labels × dim partial
+    rows) + one scan of the vectors."""
+    from ..operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        x.groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+    )
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda c: c.cast("double")).alias("ve"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            dot(F.col("ve"), F.col("ve"))
+            + dot(F.col("cvec"), F.col("cvec"))
+            - F.lit(2) * dot(F.col("ve"), F.col("cvec"))
+        ).alias("d2"),
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "clabel")).alias("m")
+    )
+    return (
+        pred.select("label", F.col("m.clabel").alias("pred_label"))
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
