@@ -114,6 +114,8 @@ CARTESIAN_ALLOWED = {
     "ann_int8_topk",
     # broadcast 10-row centroid table × single vector scan
     "centroid_assign_confusion",
+    # one-row merged-sketch total broadcast into the per-type rows
+    "sketch_rollup_distinct",
     "dedup_embedding_cosine",
     # exactly-one-row scalar-subquery broadcast (the avg threshold) —
     # bounded at every SF, the canonical uncorrelated-scalar shape

@@ -3800,6 +3800,109 @@ def centroid_assign_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitters_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT unnest(toks) AS item FROM toks)
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY item
+    ORDER BY n DESC, item ASC LIMIT 20
+    """,
+    tags=["text", "heavy-hitters", "sketch"],
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters via the approx_top_k sketch (Spark 4's
+    frequent-items aggregate: bounded-memory, map-side combinable — the
+    100 TB shape where a groupBy over a huge key space would shuffle
+    every distinct item). With maxItemsTracked (1000) above the corpus
+    vocabulary the sketch is provably exact, so the top-20 re-ranked
+    under the deterministic (count desc, item asc) order hash-matches
+    the exact oracle — same grading idea as the other sketch entries:
+    the approximate machinery runs, the contract is exact."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    t.createOrReplaceTempView("_hh_toks")
+    return spark.sql(
+        """
+        WITH sk AS (SELECT approx_top_k(item, 1000, 1000) AS tk
+                    FROM (SELECT explode(toks) AS item FROM _hh_toks)),
+        x AS (SELECT e.item, e.count AS n FROM sk LATERAL VIEW explode(tk) AS e)
+        SELECT item, n FROM x ORDER BY n DESC, item ASC LIMIT 20
+        """
+    )
+
+
+@register(
+    "sketch_rollup_distinct",
+    """
+    WITH ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY event_type),
+    g AS (SELECT count(DISTINCT user_id) AS exact_total FROM events)
+    SELECT ex.event_type, ex.exact_users, TRUE AS type_within_5pct,
+           g.exact_total, TRUE AS total_within_5pct
+    FROM ex CROSS JOIN g
+    """,
+    tags=["sketch", "hll", "rollup"],
+)
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-event-type HLL sketches of the user
+    set, unioned with hll_union_agg into the global distinct count —
+    the pre-aggregation pattern that lets 100 TB dashboards combine
+    partial sketches instead of rescanning raw events (sketch columns
+    persist and merge; exact distincts don't). Graded like
+    approx_distinct_users: exact counts plus within-5% flags the
+    sketches must satisfy (oracle asserts TRUE)."""
+    e = load(spark, sf_dir, "events")
+    e.select("event_type", "user_id").createOrReplaceTempView("_hll_ev")
+    return spark.sql(
+        """
+        WITH sk AS (SELECT event_type, hll_sketch_agg(user_id) AS sk,
+                           count(DISTINCT user_id) AS exact_users
+                    FROM _hll_ev GROUP BY event_type),
+        g AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_total,
+                     (SELECT count(DISTINCT user_id) FROM _hll_ev) AS exact_total
+              FROM sk)
+        SELECT sk.event_type, sk.exact_users,
+               abs(hll_sketch_estimate(sk.sk) - sk.exact_users)
+                 <= 0.05 * sk.exact_users AS type_within_5pct,
+               g.exact_total,
+               abs(g.est_total - g.exact_total) <= 0.05 * g.exact_total
+                 AS total_within_5pct
+        FROM sk CROSS JOIN g
+        """
+    )
+
+
+@register(
+    "stats_price_regression",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=["stats", "regression", "profiling"],
+)
+def stats_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation + least-squares fit of price on quantity —
+    the one-pass statistical profile (corr / regr_* are single-scan
+    map-side-combinable moment aggregates on both engines; no second
+    pass, no window). Rounded at 4-6 decimals: the distributed partial
+    sums differ from DuckDB's sequential fold only in final ulps."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
