@@ -3903,6 +3903,143 @@ def stats_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_apply_orders",
+    """
+    WITH delta AS (
+      SELECT o_orderkey, o_totalprice + 500.0 AS new_price,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             o_totalprice + 1000.0 AS new_price, 'I' AS op
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+           coalesce(d.new_price, b.o_totalprice) AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                WHEN d.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS status
+    FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    WHERE d.op IS NULL OR d.op <> 'D'
+    """,
+    tags=["cdc", "merge", "upsert"],
+)
+def merge_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / CDC-apply: fold a change batch (updates, deletes,
+    inserts) into a snapshot with one FULL OUTER join on the key —
+    the incremental-refresh primitive warehouses express as MERGE INTO
+    (the reference's keyed upsert K7/A9 is the update-only special
+    case). The delta here is derived deterministically from the
+    snapshot itself (key%5 updates, %13 of those deletes, %97 inserts
+    under shifted keys) with pure IEEE addition — no round() calls whose
+    scale-then-rint implementations diverge across engines — so both
+    engines construct the bit-identical batch.
+    Both sides shuffle once on the key; with pre-bucketed snapshots
+    (operators/bucketing.py) the join is Exchange-free at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    updates = o.filter(k % 5 == 0).select(
+        k.alias("d_key"),
+        (F.col("o_totalprice") + 500.0).alias("new_price"),
+        F.when(k % 13 == 0, "D").otherwise("U").alias("op"),
+    )
+    inserts = o.filter(k % 97 == 0).select(
+        (k + 100000000).alias("d_key"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+        F.lit("I").alias("op"),
+    )
+    delta = updates.unionByName(inserts)
+    b = o.select(k.alias("b_key"), "o_totalprice")
+    merged = b.join(delta, b.b_key == delta.d_key, "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("b_key", "d_key").alias("o_orderkey"),
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+            F.when(F.col("b_key").isNull(), "inserted")
+            .when(F.col("d_key").isNull(), "kept")
+            .otherwise("updated")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "w7_percentile_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(100) OVER w AS INT) AS centile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=["window", "percentile", "rank"],
+)
+def w7_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over one shared window — the
+    remaining rank-family functions (w5 covers rank/dense_rank/lag).
+    (rank-1)/(n-1) and rank/n are exact rational arithmetic in double,
+    identical on both engines; the (price, key) total order makes every
+    value deterministic. One shuffle, one sort, three functions."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(100).over(w).alias("centile"),
+    )
+
+
+@register(
+    "set_ops_repeat_customers",
+    """
+    WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1994-01-01'
+                   AND o_orderdate < DATE '1995-01-01'),
+    y95 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01')
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+    UNION ALL
+    SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+    UNION ALL
+    SELECT o_custkey, 'new' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y94)
+    """,
+    tags=["set-ops", "intersect", "except"],
+)
+def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohorting: customers active in both years,
+    churned after y1, or new in y2 — the set-operator surface
+    (Catalyst compiles both to hash joins on the distinct key sets;
+    the year filters push to the parquet scan). Three cohorts from two
+    date-pruned scans."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    y94 = (
+        o.filter((d >= "1994-01-01") & (d < "1995-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    y95 = (
+        o.filter((d >= "1995-01-01") & (d < "1996-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    both = y94.intersect(y95).select("o_custkey", F.lit("both").alias("cohort"))
+    churned = y94.exceptAll(y95).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    new = y95.exceptAll(y94).select("o_custkey", F.lit("new").alias("cohort"))
+    return both.unionByName(churned).unionByName(new)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
