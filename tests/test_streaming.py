@@ -116,3 +116,39 @@ def test_foreachbatch_partitioned_sink(spark, events_batch, tmp_path_factory):
     got = sorted((r.event_id, r.user_id) for r in landed.select("event_id", "user_id").collect())
     want = sorted((r.event_id, r.user_id) for r in events_batch.select("event_id", "user_id").collect())
     assert got == want
+
+
+def test_join_then_window_matches_batch_below_watermark(spark, events_batch):
+    """Chained stateful ops (join → windowed agg): emitted windows equal
+    the batch join bucketed daily, restricted to windows closed under
+    the join-delayed final watermark (global wm − join gap)."""
+    from vul_dbgen_spark.queries.catalog import stream_join_then_window
+
+    got = {
+        (r.window_start, r.n_pairs)
+        for r in stream_join_then_window(spark, SF).collect()
+    }
+    v = events_batch.filter(F.col("event_type") == "view").alias("v")
+    p = events_batch.filter(F.col("event_type") == "purchase").alias("p")
+    wm_v = v.agg(F.max("ts")).first()[0]
+    wm_p = p.agg(F.max("ts")).first()[0]
+    import datetime
+
+    wm = min(wm_v, wm_p) - datetime.timedelta(days=3)  # 2d delay + 1d join gap
+    j = v.join(
+        p,
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(F.col("v.ts").alias("left_ts"))
+    want = {
+        (r.window_start, r.n_pairs)
+        for r in j.groupBy(
+            F.date_trunc("day", F.col("left_ts")).alias("window_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+        if r.window_start + datetime.timedelta(days=1) < wm
+    }
+    assert got == want
+    assert got  # the bounded input must actually emit closed windows

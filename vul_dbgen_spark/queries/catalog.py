@@ -4040,6 +4040,72 @@ def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(churned).unionByName(new)
 
 
+@register(
+    "stream_join_then_window",
+    """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                  - INTERVAL '2 days' AS w),
+    j AS (SELECT v.ts AS left_ts
+          FROM v JOIN p
+            ON p.user_id = v.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 day'),
+    agg AS (SELECT time_bucket(INTERVAL '1 day', left_ts) AS window_start,
+                   count(*) AS n_pairs
+            FROM j GROUP BY 1)
+    SELECT window_start, n_pairs FROM agg, wm
+    WHERE window_start + INTERVAL '1 day' < w - INTERVAL '1 day'
+    """,
+    tags=["streaming", "chained-stateful", "stream-stream-join", "window"],
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (Spark 4): watermarked stream-stream
+    interval join (purchases within 1 day of a view) feeding a tumbling
+    1-day window count in the SAME query — pre-4.x engines rejected
+    multi-stateful plans. Append mode: the join delays the event-time
+    watermark it hands downstream by its own state-retention bound (the
+    1-day join gap — a left row is joinable until left_ts + gap), so a
+    window emits only when (final global watermark − gap) passes its
+    end; the oracle mirrors that algebra literally (wm = min of both
+    sides' max event time − the 2-day delay, then − the 1-day gap)."""
+    views = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return ST.run_to_memory(
+        ST.join_then_window_counts(
+            views, purchases, gap="1 day", watermark="2 days", width="1 day"
+        ),
+        "stream_join_then_window_out",
+        output_mode="append",
+    )
+
+
+@register(
+    "variant_k_histogram",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY k
+    """,
+    tags=["semi-structured", "variant", "histogram"],
+)
+def variant_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema semi-structured extraction via Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed-path
+    access with variant_get — the shredded-JSON scan pattern for
+    heterogeneous event payloads (vs json_props_stats' fixed-schema
+    from_json). Histogram of the k field, graded exactly."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 from .ops import (  # noqa: F401
     events_stream,
     interval_join,
+    join_then_window_counts,
     run_to_memory,
     session_windows,
     sliding_counts,

@@ -209,6 +209,28 @@ def interval_join(
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
 
 
+def join_then_window_counts(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "1 day",
+    watermark: str = "2 days",
+    width: str = "1 day",
+) -> DataFrame:
+    """Chained stateful operators: stream-stream interval join feeding a
+    tumbling-window aggregation in ONE streaming query — multiple
+    stateful operators per query is a Spark 4 capability (earlier
+    releases rejected this plan). The join's event-time column carries
+    its watermark downstream, so the window state is still evictable;
+    in append mode a window emits only once the global watermark passes
+    its end."""
+    joined = interval_join(left, right, gap=gap, watermark=watermark)
+    return (
+        joined.groupBy(F.window("left_ts", width))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("window.start").alias("window_start"), "n_pairs")
+    )
+
+
 STATEFUL_OUT = StructType(
     [
         StructField("user_id", LongType()),
