@@ -152,3 +152,32 @@ def test_join_then_window_matches_batch_below_watermark(spark, events_batch):
     }
     assert got == want
     assert got  # the bounded input must actually emit closed windows
+
+
+def test_stateful_user_stats_tws_matches_batch(spark, events_batch):
+    """transformWithStateInPandas twin of stream_user_stats — requires
+    google.protobuf (the transform-with-state driver worker's wire
+    protocol), absent in this container; skip rather than stub."""
+    pytest.importorskip("google.protobuf")
+    from vul_dbgen_spark.streaming import (
+        events_stream,
+        run_to_memory,
+        stateful_user_stats_tws,
+    )
+
+    out = run_to_memory(
+        stateful_user_stats_tws(events_stream(spark, SF)),
+        "stream_user_stats_tws_test_out",
+        output_mode="update",
+    )
+    got = {(r.user_id, r.n_events, r.sum_value) for r in out.collect()}
+    want = {
+        (r.user_id, r.n_events, r.sum_value)
+        for r in events_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -6,6 +6,7 @@ from .ops import (  # noqa: F401
     session_windows,
     sliding_counts,
     stateful_user_stats,
+    stateful_user_stats_tws,
     stream_static_enrich_counts,
     stream_to_partitioned_sink,
     tumbling_counts,
