@@ -195,3 +195,28 @@ def test_priority_sample_is_topk_plan(spark):
     plan = priority_sample(d, "doc_id", "w", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_priority_sample_per_stratum_caps_and_agrees_with_global(spark):
+    """Each domain yields min(k, n); within a domain, survivors are
+    exactly the global sampler's order restricted to that domain."""
+    from vul_dbgen_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_per_stratum,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("w")
+    )
+    out = priority_sample_per_stratum(d, "doc_id", "w", "source", k=20)
+    n_by = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    k_by = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert k_by == {s: min(20, n) for s, n in n_by.items()}
+    # restrict the whole table to one domain: global top-k == stratum rows
+    src = sorted(n_by)[0]
+    only = {
+        r.doc_id
+        for r in priority_sample(d.filter(F.col("source") == src), "doc_id", "w", k=20).collect()
+    }
+    strat = {r.doc_id for r in out.filter(F.col("source") == src).collect()}
+    assert only == strat

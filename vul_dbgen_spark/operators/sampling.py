@@ -121,6 +121,38 @@ def priority_sample(
     )
 
 
+def priority_sample_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    strata_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Weighted top-k WITHIN each stratum (the per-domain form of
+    :func:`priority_sample`): same md5-derived priority = w·16^6/(v+1),
+    ranked by a window partitioned on the stratum — every domain
+    contributes exactly min(k, n_domain) rows, weight-proportionally.
+    One shuffle on the stratum key; the per-partition sort is bounded by
+    the largest stratum (at 100 TB pre-filter each stratum with a
+    row-local priority threshold ≈ k-th expected priority, then rank
+    only the survivors — same two-phase refinement as sqrt_cap_sample).
+    """
+    key = F.col(key_col)
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast("bigint")
+    priority = F.col(weight_col).cast("double") * F.lit(16777216.0) / (
+        v + F.lit(1)
+    ).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("priority").desc(), key.asc()
+    )
+    return (
+        df.withColumn("priority", F.round(priority, 4))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def sqrt_cap_sample(
     df: DataFrame,
     key_col: str,

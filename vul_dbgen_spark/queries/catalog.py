@@ -4106,6 +4106,77 @@ def variant_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted_per_domain",
+    """
+    WITH w AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS w,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS v
+               FROM documents),
+    p AS (SELECT doc_id, source, w,
+                 round(w * 16777216.0 / (v + 1), 4) AS priority
+          FROM w),
+    r AS (SELECT doc_id, source, w, priority,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY priority DESC, doc_id ASC) AS rk
+          FROM p)
+    SELECT doc_id, source, w, priority FROM r WHERE rk <= 20
+    """,
+    tags=["sampling", "weighted", "stratified", "training-data"],
+)
+def sample_weighted_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain weighted top-20 (priority sampling inside each source):
+    the mixture-building move that caps every domain's contribution
+    while picking weight-proportionally within it — composes the
+    stratified and weighted samplers. Window ranked on the identical
+    md5-priority arithmetic as sample_weighted_priority."""
+    from ..operators.sampling import priority_sample_per_stratum
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("w")
+    )
+    return priority_sample_per_stratum(d, "doc_id", "w", "source", k=20)
+
+
+@register(
+    "token_entropy_per_source",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT source, unnest(toks) AS tok FROM toks),
+    cnt AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+    tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source)
+    SELECT cnt.source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(any_value(tot.n) AS BIGINT) AS n_tokens,
+           round(-sum((c / tot.n) * ln(c / tot.n)), 4) AS entropy_nats
+    FROM cnt JOIN tot ON tot.source = cnt.source
+    GROUP BY cnt.source
+    """,
+    tags=["text", "entropy", "profiling"],
+)
+def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each domain's token distribution — the
+    diversity signal of mixture curation (a collapsed/templated domain
+    shows low entropy; a healthy one approaches log|vocab|). Two
+    combinable aggregations sharing the source partitioning: token
+    counts, then -Σ p·ln p. Rounded at 4 decimals, far past the ulps
+    where Java and C libm ln() can differ."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(TX.tokens("text")).alias("tok"))
+    cnt = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.any_value(F.col("n")).cast("bigint").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
