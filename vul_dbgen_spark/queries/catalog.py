@@ -4177,6 +4177,52 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q9_product_profit_shape",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit_proxy
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY nation, o_year
+    """,
+    tags=["tpch", "q9", "multi-join"],
+)
+def q9_product_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape on this schema (no partsupp table, so profit drops
+    the ps_supplycost term): nation × order-year revenue over a 5-way
+    join filtered by product name. The p_name LIKE filter prunes part
+    before the join; nation broadcasts (bounded 25 rows at every SF);
+    part/supplier/orders are left to AQE. The fact table shuffles once
+    per join key — at 100 TB, bucketing lineitem on l_orderkey
+    (operators/bucketing.py) removes the largest exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit_proxy")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
