@@ -4223,6 +4223,56 @@ def q9_product_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median_price",
+    """
+    WITH cum AS (SELECT l_returnflag, l_extendedprice,
+                        sum(l_quantity) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cq
+                 FROM lineitem),
+    tot AS (SELECT l_returnflag, sum(l_quantity) AS tq
+            FROM lineitem GROUP BY l_returnflag)
+    SELECT c.l_returnflag,
+           round(arg_min(c.l_extendedprice, c.cq), 2) AS w_median_price
+    FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+    WHERE c.cq >= t.tq / 2
+    GROUP BY c.l_returnflag
+    """,
+    tags=["window", "weighted-median", "analytics"],
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: cumulative-weight
+    CDF via a running window sum, then the first row crossing half the
+    total weight (min_by over the qualifying set) — the
+    weighted-quantile pattern no built-in aggregate covers. Exactness:
+    l_quantity is integer-valued, so every running and total sum is
+    exact in double NO MATTER the engine's summation order (sequential
+    vs segment tree) — no rounding tolerance needed anywhere in the
+    pivot selection. One shuffle + sort per side, sharing the
+    l_returnflag partitioning."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("cq"),
+    )
+    tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tq"))
+    return (
+        cum.join(tot, "l_returnflag")
+        .filter(F.col("cq") >= F.col("tq") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min_by("l_extendedprice", "cq"), 2).alias("w_median_price")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
