@@ -116,6 +116,8 @@ CARTESIAN_ALLOWED = {
     "centroid_assign_confusion",
     # one-row merged-sketch total broadcast into the per-type rows
     "sketch_rollup_distinct",
+    # ann_cosine_topk shape: broadcast 10 anchors × one corpus scan
+    "hard_negatives_topk",
     "dedup_embedding_cosine",
     # exactly-one-row scalar-subquery broadcast (the avg threshold) —
     # bounded at every SF, the canonical uncorrelated-scalar shape

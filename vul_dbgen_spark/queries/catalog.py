@@ -4273,6 +4273,70 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hard_negatives_topk",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (SELECT q.qid, c.vec_id AS cid, c.label AS neg_label,
+                      list_dot_product(qv, c.ve)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(c.ve, c.ve))) AS qcos
+               FROM q CROSS JOIN v c
+               WHERE c.label <> q.qlabel)
+    SELECT qid, cid, neg_label, round(qcos, 4) AS qcos, rank FROM (
+      SELECT qid, cid, neg_label, qcos,
+             CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY qcos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=["similarity", "hard-negatives", "training-data"],
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move a metric-learning loss. Same
+    broadcast-bounded-anchors × one-corpus-scan shape as
+    ann_cosine_topk with the label-mismatch predicate fused into the
+    scan (filtered before scoring, not after ranking). At 100 TB the
+    anchor side stays broadcast and the corpus is read once; the
+    LSH/IVF variants bound the candidate set the same way they do for
+    plain ANN."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda c: c.cast("double")).alias("ve"),
+    )
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("ve").alias("qv"),
+    )
+    from ..operators.similarity import cosine
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("qv"), F.col("ve")).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cid", "neg_label", F.round("qcos", 4).alias("qcos"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
