@@ -179,3 +179,32 @@ def test_catalog_contract_complete():
     assert not missing_oracle, missing_oracle
     assert not missing_tags, missing_tags
     assert len(C.REGISTRY) >= 71
+
+
+def test_merge_apply_full_outer_single_join(spark):
+    plan = _plan(C.merge_apply_orders(spark, SF))
+    assert "FullOuter" in plan
+    # base and delta co-shuffle on the key once each; no extra exchanges
+    # beyond the two join inputs (AQE may rewrite, so count on the
+    # pre-execution plan text loosely)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_broadcasts_only_bounded_dims(spark):
+    plan = _plan(C.q9_product_profit_shape(spark, SF))
+    # nation is hint-pinned broadcast; the name filter reaches the part scan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "p_name" in plan
+
+
+def test_ngram_doc_freq_is_global_topk(spark):
+    plan = _plan(C.ngram_doc_freq(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no full sort for the top-50
+
+
+def test_weighted_median_shares_flag_partitioning(spark):
+    # window + aggregate both key on l_returnflag; the join of the two
+    # sides must not add a cartesian or nested-loop
+    plan = _plan(C.weighted_median_price(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

@@ -3549,7 +3549,8 @@ def sample_sqrt_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_weighted_priority",
-    """
+    bench=True,
+    oracle="""
     WITH w AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS w,
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS v
                FROM documents)
@@ -3727,7 +3728,8 @@ def ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "centroid_assign_confusion",
-    """
+    bench=True,
+    oracle="""
     WITH x AS (SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS pos,
                       unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS val
                FROM embeddings),
@@ -3905,7 +3907,8 @@ def stats_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "merge_apply_orders",
-    """
+    bench=True,
+    oracle="""
     WITH delta AS (
       SELECT o_orderkey, o_totalprice + 500.0 AS new_price,
              CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
@@ -4179,7 +4182,8 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit_shape",
-    """
+    bench=True,
+    oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit_proxy
