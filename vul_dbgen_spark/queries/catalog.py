@@ -4341,6 +4341,55 @@ def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_gap_stats",
+    """
+    WITH g AS (SELECT o_custkey,
+                      date_diff('day',
+                          lag(o_orderdate) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                          o_orderdate) AS gap
+               FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(g.gap), 4) AS avg_gap_days,
+           CAST(min(g.gap) AS INT) AS min_gap_days,
+           CAST(max(g.gap) AS INT) AS max_gap_days
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+    tags=["window", "analytics", "retention"],
+)
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution per market segment — the
+    repeat-purchase cadence behind retention/LTV models: lag() over each
+    customer's order history gives consecutive-order day gaps (exact
+    integer arithmetic), then one aggregate after the segment join.
+    The window and the customer join share the customer-key shuffle;
+    the segment dimension rides along, no extra exchange for the
+    5-group rollup."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.join(c, c.c_custkey == g.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.min("gap").cast("int").alias("min_gap_days"),
+            F.max("gap").cast("int").alias("max_gap_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
