@@ -125,6 +125,8 @@ CARTESIAN_ALLOWED = {
     # same shape: the corpus-size scalar (1 row) broadcast into the
     # tf·idf projection
     "tfidf_top_terms",
+    # same shape: 1-row corpus-total scalar broadcast into the KL terms
+    "token_kl_per_source",
 }
 
 

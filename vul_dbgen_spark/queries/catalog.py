@@ -4390,6 +4390,53 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_kl_per_source",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT source, unnest(toks) AS tok FROM toks),
+    sc AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+    st AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+    cc AS (SELECT tok, count(*) AS cx FROM t GROUP BY tok),
+    ct AS (SELECT sum(cx) AS nx FROM cc)
+    SELECT sc.source,
+           round(sum((sc.c / st.n) * ln((sc.c / st.n) / (cc.cx / ct.nx))), 4)
+             AS kl_nats
+    FROM sc
+    JOIN st ON st.source = sc.source
+    JOIN cc ON cc.tok = sc.tok
+    CROSS JOIN ct
+    GROUP BY sc.source
+    """,
+    tags=["text", "kl-divergence", "profiling"],
+)
+def token_kl_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each domain's token distribution from the corpus
+    mixture — the drift/outlier signal of mixture curation (a domain
+    whose unigram distribution diverges hard from the pool is template
+    spam or another language). Every q(tok) is nonzero by construction
+    (the corpus contains each source's tokens). Token counts are one
+    exploded-scan aggregate reused for both marginals; the corpus
+    vocabulary (bounded: it converges to the language's lexicon, not
+    |docs|) broadcasts into the per-source rows, and the 1-row corpus
+    total rides a scalar broadcast — same shape as tfidf_top_terms."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(TX.tokens("text")).alias("tok"))
+    sc = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cx"))
+    ct = cc.agg(F.sum("cx").alias("nx"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cx") / F.col("nx")
+    return (
+        sc.join(st, "source")
+        .join(F.broadcast(cc), "tok")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
