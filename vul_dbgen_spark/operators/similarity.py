@@ -360,6 +360,64 @@ def ivf_topk(
     )
 
 
+def ivf_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Hard-negative mining through the IVF index: for each anchor, the
+    top-k most-similar DIFFERENT-label vectors, searched only in the
+    anchor's ``nprobe`` nearest cells — the scale path of
+    ``hard_negatives_topk`` (which scans the whole corpus per anchor).
+    Same physical shape as :func:`ivf_topk` — corpus scanned once, one
+    shuffle on centroid_id, broadcast probe side — with the
+    label-mismatch predicate fused into the cell join, so rejected
+    candidates never reach the scorer."""
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+        _argmin_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+        F.explode(_top_centroids(F.col(vec_col), centroids, nprobe)).alias(
+            "centroid_id"
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "qid", "cid", "neg_label", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "neg_label", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 def write_ivf_cells(
     corpus: DataFrame,
     path: str,

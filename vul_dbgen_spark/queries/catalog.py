@@ -4437,6 +4437,52 @@ def token_kl_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_hard_neg_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 5) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    cent AS (SELECT vec_id AS ctr, ve AS cv FROM v ORDER BY vec_id LIMIT {n_centroids}),
+    ranked AS (SELECT v.vec_id, v.ve, v.label, c.ctr,
+                      row_number() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC, c.ctr ASC) AS rk
+               FROM v CROSS JOIN cent c),
+    assign AS (SELECT vec_id, ve, label, ctr FROM ranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS qid, ve AS qv, label AS qlabel, ctr FROM ranked
+               WHERE vec_id < 10 AND rk <= {nprobe}),
+    scored AS (SELECT p.qid, a.vec_id AS cid, a.label AS neg_label,
+                      {_cos_sql('p.qv', 'a.ve')} AS cos
+               FROM probes p JOIN assign a USING (ctr)
+               WHERE a.label <> p.qlabel)
+    SELECT qid, cid, neg_label, round(cos, 4) AS cos, rank FROM (
+      SELECT qid, cid, neg_label, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "hard_negatives_ivf",
+    _ivf_hard_neg_oracle(),
+    tags=["similarity", "hard-negatives", "ivf", "training-data"],
+)
+def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the IVF index (the scale path of
+    hard_negatives_topk): anchors probe their nprobe nearest cells and
+    score only different-label members there — candidate volume is
+    nprobe/n_centroids of the corpus instead of all of it. Deterministic
+    zero-training centroids make the cell assignment and ranking
+    exactly oracle-mirrorable, as with ann_ivf_topk."""
+    from ..operators.similarity import ivf_hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_hard_negatives(
+        q, emb, "vec_id", "embedding", "label", k=5, n_centroids=8, nprobe=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
