@@ -4483,6 +4483,69 @@ def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_pipeline_counts",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks FROM documents),
+    q AS (SELECT doc_id, source, text, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN 1.0
+                      ELSE len(list_filter(toks, x -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it'], x)))
+                           / len(toks) END AS stop_ratio
+          FROM t),
+    gated AS (SELECT * FROM q WHERE n_tokens >= 20 AND stop_ratio <= 0.5),
+    dedup AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM gated) WHERE rn = 1),
+    split AS (SELECT *,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                          THEN 'test' ELSE 'train' END AS split
+              FROM dedup)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM split GROUP BY split
+    """,
+    tags=["pipeline", "curation", "composition"],
+)
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE lineage: quality gate (length +
+    stopword-ratio) → exact dedup (min-doc_id per content fingerprint)
+    → deterministic key-hashed split → per-split corpus accounting.
+    Composing the graded operators in a single DataFrame expression is
+    the point: Catalyst fuses the gate into the scan, the dedup window
+    and the split are one shuffle plus row-local projections, and no
+    intermediate materialization exists anywhere. This is the
+    S*→F*→A*→K* shape of the reference pipeline re-expressed on the
+    documents table."""
+    from ..operators.sampling import split_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", "text", TX.tokens("text").alias("toks"))
+    q = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        TX.stopword_ratio_from_tokens(F.col("toks")).alias("stop_ratio"),
+    )
+    gated = q.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") <= 0.5))
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    dedup = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        dedup.withColumn("split", split_col("doc_id", 0.1))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
