@@ -127,6 +127,8 @@ CARTESIAN_ALLOWED = {
     "tfidf_top_terms",
     # same shape: 1-row corpus-total scalar broadcast into the KL terms
     "token_kl_per_source",
+    # 1-row percentile-threshold scalar broadcast into the share sums
+    "revenue_concentration",
 }
 
 

@@ -4593,6 +4593,66 @@ def dedup_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_concentration",
+    """
+    WITH cr AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                FROM orders GROUP BY o_custkey),
+    th AS (SELECT quantile_cont(rev, 0.90) AS p90,
+                  quantile_cont(rev, 0.99) AS p99,
+                  sum(rev) AS total FROM cr)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(th.total, 2) AS total_rev,
+           round(sum(CASE WHEN cr.rev >= th.p90 THEN cr.rev ELSE 0 END)
+                 / th.total, 6) AS top10pct_share,
+           round(sum(CASE WHEN cr.rev >= th.p99 THEN cr.rev ELSE 0 END)
+                 / th.total, 6) AS top1pct_share
+    FROM cr CROSS JOIN th
+    GROUP BY th.total
+    """,
+    tags=["analytics", "pareto", "concentration"],
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto profile): the share of total
+    revenue held by customers above the 90th/99th revenue percentile.
+    Deliberately formulated by VALUE THRESHOLD, not global rank — a
+    percent_rank over all customers is an unpartitioned window (one
+    task at 100 TB), while the exact percentile is a single aggregate
+    whose 1-row result broadcasts back. Both engines interpolate
+    percentiles identically; threshold membership compares against an
+    interpolated value that almost never collides with a data point."""
+    o = load(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    th = cr.agg(
+        F.expr("percentile(rev, 0.90)").alias("p90"),
+        F.expr("percentile(rev, 0.99)").alias("p99"),
+        F.sum("rev").alias("total"),
+    )
+    return (
+        cr.crossJoin(F.broadcast(th))
+        .groupBy("total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.when(F.col("rev") >= F.col("p90"), F.col("rev")).otherwise(0.0))
+                / F.col("total"),
+                6,
+            ).alias("top10pct_share"),
+            F.round(
+                F.sum(F.when(F.col("rev") >= F.col("p99"), F.col("rev")).otherwise(0.0))
+                / F.col("total"),
+                6,
+            ).alias("top1pct_share"),
+        )
+        .select(
+            "n_customers",
+            F.round(F.col("total"), 2).alias("total_rev"),
+            "top10pct_share",
+            "top1pct_share",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
