@@ -181,3 +181,28 @@ def test_stateful_user_stats_tws_matches_batch(spark, events_batch):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_then_window_counts_each_event_once(spark, events_batch):
+    """Union of two identical streams → watermarked dedup → daily counts:
+    every event must be counted exactly once (the dedup state fires),
+    and only watermark-closed windows emit."""
+    from vul_dbgen_spark.queries.catalog import stream_dedup_then_window
+    import datetime
+
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in stream_dedup_then_window(spark, SF).collect()
+    }
+    wm = events_batch.agg(F.max("ts")).first()[0] - datetime.timedelta(days=2)
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in events_batch.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.window_start + datetime.timedelta(days=1) < wm
+    }
+    assert got == want
+    assert got

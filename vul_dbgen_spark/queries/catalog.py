@@ -4653,6 +4653,37 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_then_window",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '2 days' AS w FROM events),
+    d AS (SELECT DISTINCT ON (event_id) event_id, ts, event_type FROM events),
+    agg AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+                   event_type, count(*) AS n
+            FROM d GROUP BY 1, 2)
+    SELECT window_start, event_type, n FROM agg, wm
+    WHERE window_start + INTERVAL '1 day' < w
+    """,
+    tags=["streaming", "chained-stateful", "dedup", "window"],
+)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming #2 (Spark 4): union of two identical
+    event streams → watermarked dropDuplicates(event_id) → tumbling
+    daily counts, three stateful stages in ONE query. dropDuplicates
+    passes rows through with their original event time — no watermark
+    delay like a join's gap — so append-mode windows emit once the
+    plain global watermark (max ts − 2 days) passes their end; the
+    duplicate-row union proves the dedup state actually fires (each
+    event arrives twice, is counted once)."""
+    s1 = ST.events_stream(spark, sf_dir)
+    s2 = ST.events_stream(spark, sf_dir)
+    return ST.run_to_memory(
+        ST.union_dedup_window_counts(s1, s2, watermark="2 days", width="1 day"),
+        "stream_dedup_then_window_out",
+        output_mode="append",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------

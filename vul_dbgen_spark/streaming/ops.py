@@ -232,6 +232,30 @@ def join_then_window_counts(
     )
 
 
+def union_dedup_window_counts(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "2 days",
+    width: str = "1 day",
+) -> DataFrame:
+    """Chained stateful pipeline #2: union two event streams, drop
+    duplicate event_ids within the watermark, then count per tumbling
+    window — dedup state and window state coexist in one query (Spark 4
+    multi-stateful). Unlike a stream-stream join, watermarked
+    dropDuplicates does NOT delay the downstream watermark (rows pass
+    through with their original event time), so windows emit as soon as
+    the plain global watermark passes their end."""
+    u = left.unionByName(right).withWatermark("ts", watermark)
+    deduped = u.dropDuplicates(["event_id"])
+    return (
+        deduped.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
 STATEFUL_OUT = StructType(
     [
         StructField("user_id", LongType()),
