@@ -129,6 +129,9 @@ CARTESIAN_ALLOWED = {
     "token_kl_per_source",
     # 1-row percentile-threshold scalar broadcast into the share sums
     "revenue_concentration",
+    # 50-row replicate index broadcast into the fact scan (Poisson
+    # bootstrap: the explode IS the method; weights are row-local)
+    "bootstrap_ci_order_value",
 }
 
 

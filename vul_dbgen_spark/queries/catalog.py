@@ -4684,6 +4684,89 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson(1) inverse-CDF thresholds on the md5-derived uniform: P(X<=k)
+# cumulative, as exact decimal literals so both engines binary-compare
+# the same constants. P(0)=e^-1, etc.; tail clamped at 5.
+_POIS1_CDF = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "bootstrap_ci_order_value",
+    f"""
+    WITH rep AS (SELECT b FROM (SELECT unnest(generate_series(0, 49)) AS b)),
+    w AS (SELECT r.b, o.o_totalprice,
+                 {_pois_case_sql("(('0x' || substr(md5(r.b || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 6))::BIGINT + 1) / 16777216.0")}
+                   AS wt
+          FROM orders o CROSS JOIN rep r),
+    means AS (SELECT b, sum(wt * o_totalprice) / sum(wt) AS m
+              FROM w GROUP BY b HAVING sum(wt) > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(m), 2) AS boot_mean,
+           round(stddev_samp(m), 4) AS boot_se,
+           round(min(m), 2) AS boot_min,
+           round(max(m), 2) AS boot_max
+    FROM means
+    """,
+    tags=["stats", "bootstrap", "resampling"],
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value — THE distributed
+    resampling method: instead of drawing n rows with replacement
+    (impossible without global coordination), each row receives a
+    Poisson(1) multiplicity per replicate, computed row-locally. 50
+    replicates ride one explode + one combinable aggregation — no
+    shuffle of the data, no per-replicate pass. Determinism: the
+    Poisson draw inverts exact decimal CDF literals against an
+    md5(replicate:key)-derived uniform, so both engines materialize
+    identical weights; replicate means differ only in summation-order
+    ulps, absorbed by the rounded summary."""
+    o = load(spark, sf_dir, "orders")
+    rep = spark.range(0, 50).select(F.col("id").cast("int").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("b").cast("string"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(16777216.0)
+    wt = F.lit(5)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wt = F.when(u < _POIS1_CDF[k], k).otherwise(wt)
+    means = (
+        o.crossJoin(F.broadcast(rep))
+        .select("b", "o_totalprice", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("o_totalprice")) / F.sum("wt")).alias("m"),
+            F.sum("wt").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("m"), 2).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.round(F.min("m"), 2).alias("boot_min"),
+        F.round(F.max("m"), 2).alias("boot_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
