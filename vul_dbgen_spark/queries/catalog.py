@@ -4767,6 +4767,43 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "monthly_revenue_growth",
+    """
+    WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                      round(sum(o_totalprice), 2) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM m
+    """,
+    tags=["time-series", "window", "analytics"],
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the window-over-aggregate shape
+    — the big fact table reduces to a tiny monthly series FIRST (one
+    combinable aggregation), then lag/growth run over dozens of rows.
+    The unpartitioned window is safe exactly because it follows the
+    reduction: at 100 TB it orders months, not orders. Revenue is
+    rounded BEFORE the growth arithmetic so both engines difference
+    identical inputs."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
