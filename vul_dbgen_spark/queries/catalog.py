@@ -4770,7 +4770,7 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "monthly_revenue_growth",
     """
-    WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+    WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
                       round(sum(o_totalprice), 2) AS revenue
                FROM orders GROUP BY 1)
     SELECT month, revenue,
@@ -4788,10 +4788,12 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpartitioned window is safe exactly because it follows the
     reduction: at 100 TB it orders months, not orders. Revenue is
     rounded BEFORE the growth arithmetic so both engines difference
-    identical inputs."""
+    identical inputs. Month stays TIMESTAMP on both engines (DuckDB's
+    date_trunc on DATE yields DATE, which pandas normalization renders
+    as midnight datetimes — the cohort_retention lesson)."""
     o = load(spark, sf_dir, "orders")
     m = (
-        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     w = Window.orderBy("month")
