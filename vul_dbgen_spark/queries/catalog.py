@@ -4806,6 +4806,39 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH g AS (SELECT source, md5(text) AS fp, count(*) AS c
+               FROM documents GROUP BY source, fp)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_redundant,
+           round((sum(c) - count(*)) / sum(c), 4) AS dup_rate
+    FROM g GROUP BY source
+    """,
+    tags=["dedup", "profiling", "curation"],
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-duplication rate — the curation health metric
+    that decides where dedup effort goes (a domain at 40% redundancy is
+    a crawler bug, not a corpus). Content fingerprints aggregate once;
+    redundant = docs beyond the first per fingerprint. Integer-exact
+    arithmetic; two combinable aggregations sharing the source+fp
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4
+        ).alias("dup_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
