@@ -86,6 +86,9 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        # a benched query that returns 0 rows measures an AQE-propagated
+        # empty plan, not the operator (round 2's q9); fail loudly
+        assert spec.expect_empty or n > 0, f"{name}: 0 rows — bench is vacuous"
 
     print(
         json.dumps(

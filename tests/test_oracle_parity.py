@@ -48,6 +48,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    if not spec.expect_empty:
+        # empty==empty is vacuously green (round 2's q9: a LIKE literal
+        # absent from the testdata made a 5-way join "pass" on 0 rows);
+        # any query that may legitimately return nothing must say so via
+        # expect_empty=True at registration
+        assert len(got) > 0, f"{name}: empty result — parity would be vacuous"
     cg, cw = _canon(got), _canon(want)
     mism = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b]
     assert not mism, (
