@@ -229,3 +229,36 @@ def test_int8_topk_recall_vs_exact(emb):
     qz = {(r.qid, r.cid) for r in quant.collect()}
     # int8 error is ~1/254 per element; top-5 sets should overlap heavily
     assert len(ex & qz) / len(ex) >= 0.8, (len(ex & qz), len(ex))
+
+
+def test_frozen_kmeans_centroids_match_fresh_fit(emb):
+    """The graded ann_ivf_kmeans_topk entry runs on centroids frozen in
+    operators/ivf_centroids.py (trained once on sf0.01, seed=42). A fresh
+    fit on the same data must agree within fp-summation noise — if the
+    testdata or pyspark.ml changes, this fails loudly and the artifact
+    must be regenerated (see the module docstring)."""
+    import numpy as np
+
+    from vul_dbgen_spark.operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+    from vul_dbgen_spark.operators.similarity import train_ivf_centroids
+
+    fresh = train_ivf_centroids(emb, "embedding", n_centroids=8, seed=42, max_iter=10)
+    frozen = np.array([v for _, v in KMEANS_CENTROIDS_SF001])
+    fit = np.array([v for _, v in fresh])
+    assert frozen.shape == fit.shape == (8, 64)
+    # same seed + same data: identical up to distributed-sum ordering noise
+    np.testing.assert_allclose(fit, frozen, atol=1e-6)
+
+
+def test_frozen_kmeans_ivf_recall(emb):
+    from vul_dbgen_spark.operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(
+        brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    )
+    trained = _pairs(
+        ivf_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding",
+                 k=5, nprobe=3, centroids=KMEANS_CENTROIDS_SF001)
+    )
+    assert len(exact & trained) / len(exact) >= 0.6
