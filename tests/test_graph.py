@@ -65,3 +65,47 @@ def test_round_join_is_equijoin_not_cartesian(spark):
     plan = msgs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_contraction_path_1000_in_log_rounds(spark):
+    """Kiveris et al. convergence bound: a 1000-node path — the
+    adversarial O(diameter) case for label propagation — must contract in
+    <= 2*log2(n) alternating rounds."""
+    import math
+
+    from vul_dbgen_spark.operators.graph import _star_contraction, _symmetrize
+
+    n = 1000
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src: long, dst: long")
+    stars, rounds = _star_contraction(_symmetrize(e, "src", "dst"), max_iter=40)
+    assert rounds <= 2 * math.log2(n), rounds
+    got = {r["u"]: r["v"] for r in stars.collect()}
+    assert got == {i: 0 for i in range(1, n)}
+
+
+def test_star_and_label_agree_on_random_graph(spark):
+    """The two algorithms are interchangeable: identical labels on a
+    seeded random graph (the differential contract the docstring claims)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    v = spark.createDataFrame([(x,) for x in range(200)], "id: long")
+    a = connected_components(e, "src", "dst", vertices=v, id_col="id", algorithm="star")
+    b = connected_components(e, "src", "dst", vertices=v, id_col="id", algorithm="label")
+    assert {(r.node, r.component) for r in a.collect()} == {
+        (r.node, r.component) for r in b.collect()
+    }
+
+
+def test_star_and_label_agree_on_clique_union(spark):
+    # the common near-dup shape: LSH-bucket cliques sharing members
+    cliq = [(a, b) for grp in ([4, 9, 17], [17, 30, 31], [50, 51])
+            for i, a in enumerate(grp) for b in grp[i + 1:]]
+    e = spark.createDataFrame(cliq, "src: long, dst: long")
+    a = connected_components(e, algorithm="star")
+    b = connected_components(e, algorithm="label")
+    assert {(r.node, r.component) for r in a.collect()} == {
+        (r.node, r.component) for r in b.collect()
+    }

@@ -6,31 +6,36 @@ document per group. The reference's dedup surfaces stop at keyed merges
 exact-key grouping; transitive near-dup clustering is the beyond-reference
 LLM-pipeline completion of that family.
 
-Algorithm: min-label propagation to a fixpoint. Every node starts
-labeled with its own id; each round, every node takes the minimum label
-among itself and its neighbors; converged when no label changes. The
-result — every node labeled with the minimum node id of its component —
-is algorithm-independent, so a SQL reachability oracle (recursive CTE)
-can verify it exactly.
+Two interchangeable algorithms, identical (algorithm-independent) output —
+every node labeled with the minimum node id of its component — so a SQL
+reachability oracle (recursive CTE) verifies either exactly:
 
-Scale shape (the 100 TB story):
+- ``algorithm="star"`` (default): the large-star/small-star alternation of
+  Kiveris et al., "Connected Components in MapReduce and Beyond"
+  (SoCC'14). Each large-star round connects every node's larger neighbors
+  to its minimum neighbor; each small-star round contracts the smaller
+  neighbors onto the minimum. Converges in O(log n) rounds on ANY graph —
+  including the adversarial long-path case where label propagation needs
+  O(diameter) rounds (a 100 TB near-dup corpus with chained duplicates
+  A≈B≈C≈… is exactly that shape). Pinned in tests/test_graph.py: a
+  1000-node path converges in ≤ 2·log2(n) rounds.
+- ``algorithm="label"``: min-label propagation to a fixpoint — one round
+  per hop of diameter. Kept because on the common near-dup graph shape
+  (unions of LSH-bucket cliques, diameter 2-4) it does less work per
+  round (no re-orientation), and as the differential twin for the
+  equivalence test.
 
-- The symmetrized edge list is deduplicated and persisted ONCE; every
-  round joins the (small, 2-column) label table against it on the same
-  key, so the shuffle partitioning of `edges` is computed once and
-  reused — AQE coalesces the tiny label side.
-- Rounds needed = graph diameter. Near-dup graphs are unions of
-  LSH-bucket cliques, so diameters are tiny (2-4); the generic
-  worst case (long paths) is O(n) rounds, for which the literature's
-  large-star/small-star alternation (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC'14) gets O(log n) — the
-  round structure below is deliberately shaped so that swapping the
-  message step for star-contraction is a local change.
+Scale shape shared by both (the 100 TB story):
+
+- Per-round state is a 2-column DataFrame, shuffled on the node key; the
+  star rounds rewrite the edge set in place, so the data volume SHRINKS
+  monotonically as components contract (the paper's key property), where
+  label propagation re-joins the full edge list every round.
 - Each round ends in `localCheckpoint` (eager): without it the plan
   doubles per iteration and Catalyst analysis time, not the data,
   becomes the bottleneck by round ~15.
-- Convergence is detected with a one-number aggregate (count of
-  changed labels), not a collect of the labels.
+- Convergence is detected with a one-number aggregate, never a collect
+  of the labels.
 """
 
 from __future__ import annotations
@@ -40,6 +45,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+    Each undirected edge is emitted by exactly one endpoint (the smaller),
+    so the output size is bounded by the input size."""
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Contract each node's smaller neighbors onto its minimum neighbor.
+    Input/output orientation: (u, v) with v < u (larger points to
+    smaller). Emits (x, m) for x ∈ N(u) ∪ {u}, x ≠ m, m = min(N(u))."""
+    m = canon.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = canon.join(m, "u").filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(self_edge).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _star_contraction(
+    sym: DataFrame, max_iter: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the (larger→smaller) edge set
+    is stable. Returns ((u, v) star edges: u = node, v = its component
+    minimum, non-center nodes only; plus rounds used)."""
+    # canonical orientation: larger endpoint points at smaller
+    canon = (
+        sym.filter(F.col("u") > F.col("v")).distinct().localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        big = _large_star(
+            canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        )
+        new_canon = (
+            _small_star(big.filter(F.col("u") > F.col("v")))
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+        # stability probe: the edge sets are star-shaped and shrinking, so
+        # exceptAll in both directions is two small shuffles on (u, v)
+        if (
+            new_canon.count() == canon.count()
+            and new_canon.exceptAll(canon).limit(1).count() == 0
+        ):
+            canon = new_canon
+            break
+        canon = new_canon
+    return canon, rounds
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -47,6 +119,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 30,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
@@ -57,24 +130,39 @@ def connected_components(
     near-dup candidate).
 
     Returns (node, component) — component = min id in the node's
-    connected component. Deterministic regardless of partitioning or
-    iteration count, hence exactly oracle-checkable.
+    connected component. Deterministic regardless of partitioning,
+    iteration count, or ``algorithm``, hence exactly oracle-checkable.
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym = _symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if algorithm == "star":
+        stars, _ = _star_contraction(sym, max_iter)
+        assigned = stars.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+        # star centers + isolated nodes label themselves
+        if vertices is not None:
+            allv = vertices.select(F.col(id_col).alias("node")).distinct()
+        else:
+            allv = sym.select(F.col("u").alias("node")).distinct()
+        lbl = allv.join(assigned, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+        sym.unpersist()
+        return lbl
+
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+
     if vertices is not None:
         lbl = vertices.select(F.col(id_col).alias("node")).distinct()
     else:
-        lbl = e.select(F.col("u").alias("node")).distinct()
+        lbl = sym.select(F.col("u").alias("node")).distinct()
     lbl = lbl.select("node", F.col("node").alias("component")).localCheckpoint()
 
     for i in range(max_iter):
         # neighbor messages: component[u] offered to v across each edge
-        msgs = e.join(lbl, e["u"] == lbl["node"]).select(
+        msgs = sym.join(lbl, sym["u"] == lbl["node"]).select(
             F.col("v").alias("node"), F.col("component")
         )
         new_lbl = (
@@ -97,7 +185,7 @@ def connected_components(
                 lbl = new_lbl
                 break
         lbl = new_lbl
-    e.unpersist()
+    sym.unpersist()
     return lbl
 
 
