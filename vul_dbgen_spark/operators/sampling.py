@@ -19,6 +19,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _require_free_columns(df: DataFrame, names: list[str], op: str) -> None:
+    """Output/internal column collisions must fail loudly: silently
+    overwriting a caller's column (or dropping it with the internal
+    scratch) corrupts data in a way no test downstream would attribute
+    to the sampler."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash}; rename them — "
+            f"these names are reserved for the operator's output/scratch"
+        )
+
+
 def split_threshold_hex(test_frac: float) -> str:
     """The 4-hex-char cutoff under which a key lands in the test split."""
     if not 0.0 <= test_frac <= 1.0:
@@ -49,6 +62,7 @@ def deterministic_split(
     which is what prevents train/test leakage of near-identical records
     sharing a key (the same reason dedup precedes splitting in a real
     pipeline)."""
+    _require_free_columns(df, ["split"], "deterministic_split")
     return df.withColumn("split", split_col(key_col, test_frac))
 
 
@@ -73,6 +87,7 @@ def stratified_sample(
     Row-local: the threshold lookup is a broadcast-free CASE chain over
     the (tiny, driver-known) rates map; no shuffle, fully pushdown-safe.
     """
+    _require_free_columns(df, ["weight"], "stratified_sample")
     key = F.col(key_col)
     bucket = F.substring(F.md5(key.cast("string")), 1, 4)
     thr = F.lit(split_threshold_hex(default_rate))
@@ -108,7 +123,12 @@ def priority_sample(
     orderBy().limit(k) to TakeOrderedAndProject — per-partition heaps of
     k rows, only k rows per partition reach the driver-side merge; no
     full sort, no shuffle of the data. The 100 TB cost is exactly one
-    scan."""
+    scan.
+
+    ``priority`` is a documented output column (downstream HT-style
+    reweighting wants it); an input already carrying that name raises
+    rather than being silently overwritten."""
+    _require_free_columns(df, ["priority"], "priority_sample")
     key = F.col(key_col)
     v = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast("bigint")
     priority = F.col(weight_col).cast("double") * F.lit(16777216.0) / (v + F.lit(1)).cast(
@@ -136,7 +156,11 @@ def priority_sample_per_stratum(
     the largest stratum (at 100 TB pre-filter each stratum with a
     row-local priority threshold ≈ k-th expected priority, then rank
     only the survivors — same two-phase refinement as sqrt_cap_sample).
-    """
+
+    ``priority`` is a documented output column; the rank scratch is the
+    collision-safe ``__rk`` and is dropped. Inputs already carrying
+    either name raise rather than being silently clobbered."""
+    _require_free_columns(df, ["priority", "__rk"], "priority_sample_per_stratum")
     key = F.col(key_col)
     v = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10).cast("bigint")
     priority = F.col(weight_col).cast("double") * F.lit(16777216.0) / (
@@ -147,9 +171,9 @@ def priority_sample_per_stratum(
     )
     return (
         df.withColumn("priority", F.round(priority, 4))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 
@@ -182,6 +206,7 @@ def sqrt_cap_sample(
     aggregate for sorting ~quota rows instead of n. The single-window
     form here is the exactly-oracle-mirrorable one.
     """
+    _require_free_columns(df, ["_dom", "_n", "_quota", "_rk"], "sqrt_cap_sample")
     key, dom = F.col(key_col), F.col(domain_col)
     counts = df.groupBy(dom.alias("_dom")).agg(F.count(F.lit(1)).alias("_n"))
     quota = counts.select(

@@ -3890,7 +3890,9 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary the sketch is provably exact, so the top-20 re-ranked
     under the deterministic (count desc, item asc) order hash-matches
     the exact oracle — same grading idea as the other sketch entries:
-    the approximate machinery runs, the contract is exact."""
+    the approximate machinery runs, the contract is exact. The
+    exactness precondition (vocab <= maxItemsTracked at every graded
+    SF) is asserted in tests/test_sketches.py rather than assumed."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", TX.tokens("text").alias("toks"))
     t.createOrReplaceTempView("_hh_toks")
@@ -4742,13 +4744,16 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful streaming #2 (Spark 4): union of two identical
-    event streams → watermarked dropDuplicates(event_id) → tumbling
-    daily counts, three stateful stages in ONE query. dropDuplicates
+    event streams → dropDuplicatesWithinWatermark(event_id) → tumbling
+    daily counts, three stateful stages in ONE query. The dedup stage
     passes rows through with their original event time — no watermark
     delay like a join's gap — so append-mode windows emit once the
     plain global watermark (max ts − 2 days) passes their end; the
     duplicate-row union proves the dedup state actually fires (each
-    event arrives twice, is counted once)."""
+    event arrives twice with the same ts, is counted once — co-timed,
+    so within-watermark dedup equals the oracle's global DISTINCT ON).
+    WithinWatermark (vs plain dropDuplicates) evicts per-key state at
+    the watermark horizon — bounded state at 100 TB."""
     s1 = ST.events_stream(spark, sf_dir)
     s2 = ST.events_stream(spark, sf_dir)
     return ST.run_to_memory(
