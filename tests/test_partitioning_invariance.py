@@ -1,0 +1,75 @@
+"""Rerun-stability under arbitrary partitioning — the property every
+md5-keyed sampler/dedup design in this repo claims: output is a pure
+function of the DATA, never of how Spark happened to split it. Each test
+runs the operator on repartition(1) vs repartition(64) (and a skewed
+range-partitioning for the samplers) and requires bit-identical rows.
+
+This is the contract that makes incremental refreshes and cross-cluster
+reruns safe at 100 TB: a re-shuffle, an executor-count change, or AQE
+re-planning must never move a document in or out of a sample/split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _partitionings(df):
+    return [
+        df.repartition(1),
+        df.repartition(64),
+        # skewed: everything through few range-partitions on a
+        # non-uniform key, the adversarial layout for per-partition state
+        df.repartitionByRange(3, F.col("doc_id") % 2),
+    ]
+
+
+def test_priority_sample_partitioning_invariant(docs):
+    from vul_dbgen_spark.operators.sampling import priority_sample
+
+    d = docs.select("doc_id", F.length("text").cast("bigint").alias("w"))
+    base = _rows(priority_sample(_partitionings(d)[0], "doc_id", "w", k=100))
+    assert len(base) == 100
+    for part in _partitionings(d)[1:]:
+        assert _rows(priority_sample(part, "doc_id", "w", k=100)) == base
+
+
+def test_sqrt_cap_sample_partitioning_invariant(docs):
+    from vul_dbgen_spark.operators.sampling import sqrt_cap_sample
+
+    d = docs.select("doc_id", "source")
+    base = _rows(sqrt_cap_sample(_partitionings(d)[0], "doc_id", "source"))
+    assert base
+    for part in _partitionings(d)[1:]:
+        assert _rows(sqrt_cap_sample(part, "doc_id", "source")) == base
+
+
+def test_split_partitioning_invariant(docs):
+    from vul_dbgen_spark.operators.sampling import deterministic_split
+
+    d = docs.select("doc_id")
+    base = _rows(deterministic_split(_partitionings(d)[0], "doc_id", 0.1))
+    tags = {t for _, t in base}
+    assert tags == {"train", "test"}
+    for part in _partitionings(d)[1:]:
+        assert _rows(deterministic_split(part, "doc_id", 0.1)) == base
+
+
+def test_minhash_lsh_pairs_partitioning_invariant(docs):
+    from vul_dbgen_spark.operators.dedup import minhash_lsh_pairs
+
+    d = docs.select("doc_id", "text")
+    base = _rows(minhash_lsh_pairs(d.repartition(1), "doc_id", "text"))
+    assert base
+    assert _rows(minhash_lsh_pairs(d.repartition(64), "doc_id", "text")) == base
