@@ -90,17 +90,108 @@ def main() -> None:
         # empty plan, not the operator (round 2's q9); fail loudly
         assert spec.expect_empty or n > 0, f"{name}: 0 rows — bench is vacuous"
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # ---- sf1 scaling point -------------------------------------------------
+    # Every sf0.1 number above is overhead-dominated (< ~2.5 s); the
+    # 100 TB claims rest on the SLOPE, so when the locally generated 10x
+    # dataset exists (tools/gen_sf1.py -> fixtures/sf1), re-run the
+    # heaviest queries there and report sec + the sf1/sf0.1 ratio. A
+    # ratio far above 10x on this replicated-shard data flags an
+    # operator with super-linear cost. One timed repeat after a warm
+    # run: at sf1 the queries run seconds, so a noise draw distorts a
+    # ratio far less than at sf0.1.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
+    if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        # dedup_embedding_lsh (0.40 threshold, 8x4 bands) is deliberately
+        # NOT here: on the near-uniform synthetic vectors the TRUE pair
+        # count at 0.40 is Θ(n²) (701 pairs @ 2k vecs → ~70k @ 20k), so
+        # any exact-recall candidate generator is quadratic by problem
+        # statement — measured 52.6x at 10x data in round 3. The scale
+        # path is benched below as dedup_embedding_lsh_scaled: the
+        # production config (0.9 threshold, 12x12 bands — the operator
+        # docstring's documented band growth) on embeddings with a
+        # realistic injected 2% near-dup rate, where output is linear.
+        heavy = [
+            "dedup_clusters", "dedup_ngram_jaccard_capped",
+            "tfidf_top_terms", "dedup_ngram_jaccard", "bm25_topk",
+            "dedup_minhash_lsh_pairs", "q5_region_revenue",
+            "topk_parts_per_supplier", "centroid_assign_confusion",
+            "q1_pricing_summary", "q9_product_profit_shape",
+        ]
+        sf1_timings: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in heavy:
+            spec = REGISTRY[name]
+            best, n = float("inf"), 0
+            for i in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = spec.fn(spark, sf1_dir).count()
+                if i > 0:
+                    best = min(best, time.perf_counter() - t0)
+            assert spec.expect_empty or n > 0, f"{name}@sf1: 0 rows — vacuous"
+            sf1_timings[name] = round(best, 3)
+            if timings.get(name):
+                ratios[name] = round(best / timings[name], 1)
+            flag = " ** SUPER-LINEAR" if ratios.get(name, 0) > 15 else ""
+            print(
+                f"# sf1 {name}: {best:.3f}s ({n} rows, "
+                f"{ratios.get(name, float('nan'))}x vs sf0.1){flag}",
+                file=sys.stderr,
+            )
+        # scale-path embedding dedup: production banding on dup-injected
+        # vectors (tools/gen_sf1.py), ratio vs a 2k baseline from the
+        # SAME generator + dup rate (fixtures/sf0.1syn) so both points
+        # measure identical per-row semantics
+        syn_dir = os.path.join(os.path.dirname(sf1_dir), "sf0.1syn")
+        if os.path.isdir(syn_dir):
+            from vul_dbgen_spark.operators.similarity import (
+                embedding_lsh_near_dup_pairs,
+            )
+
+            def scaled(d: str):
+                emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+                return embedding_lsh_near_dup_pairs(
+                    emb, "vec_id", "embedding",
+                    dim=64, threshold=0.9, n_bands=12, band_planes=12,
+                )
+
+            secs = {}
+            for tag, d in [("sf0.1", syn_dir), ("sf1", sf1_dir)]:
+                best, n = float("inf"), 0
+                for i in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n = scaled(d).count()
+                    if i > 0:
+                        best = min(best, time.perf_counter() - t0)
+                assert n > 0, f"dedup_embedding_lsh_scaled@{tag}: 0 rows — vacuous"
+                secs[tag] = round(best, 3)
+                print(
+                    f"# sf1-scalepath dedup_embedding_lsh_scaled@{tag}: "
+                    f"{best:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
+            sf1_timings["dedup_embedding_lsh_scaled"] = secs["sf1"]
+            ratios["dedup_embedding_lsh_scaled"] = round(
+                secs["sf1"] / secs["sf0.1"], 1
+            )
+
+        payload["sf1_queries"] = sf1_timings
+        payload["sf1_ratio_vs_sf0.1"] = ratios
+        payload["sf1_total"] = round(sum(sf1_timings.values()), 3)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1845,6 +1845,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_embedding_lsh_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS component FROM reach GROUP BY node
+    """,
+    tags=["dedup", "embedding", "graph", "semantic-dedup"],
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end — the embedding-space twin of
+    dedup_clusters: banded hyperplane-LSH near-dup pairs (cos >= 0.40,
+    band equi-join, no cartesian) → connected components (large-star/
+    small-star, O(log n) rounds) → every vector labeled with its
+    cluster's min vec_id. This is the composition a 100 TB curation
+    pipeline actually runs: candidate generation, transitive closure,
+    then keep-one-per-cluster; each stage individually plan-pinned
+    elsewhere (tests/test_plans.py, tests/test_graph.py). Oracle:
+    recursive-CTE reachability over the literally-mirrored LSH pair SQL
+    — exact because both the planes and the CC result are
+    algorithm-independent and deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.40, n_bands=8, band_planes=4
+    )
+    cc = connected_components(
+        pairs, "id_a", "id_b", vertices=emb.select("vec_id"), id_col="vec_id"
+    )
+    return cc.select(F.col("node").alias("vec_id"), "component")
+
+
+@register(
     "range_join_ship_window",
     """
     SELECT o.o_orderkey, count(l.l_orderkey) AS n_near
