@@ -57,6 +57,12 @@ PATTERNS = {
 
 
 def plan_signature(df) -> dict[str, int]:
+    # NOTE: callers must capture from a cache-free session (clearCache
+    # first). A persisted subtree materialized by an EARLIER test makes
+    # the analyzer substitute an InMemoryRelation whose stored adaptive
+    # plan prints both its Final and Initial sections — every node in
+    # the cached subtree counts twice and the signature "drifts" on
+    # test order alone (observed: tfidf's shared-TF persist).
     plan = df._jdf.queryExecution().executedPlan().toString()
     sig = {}
     for name, pat in PATTERNS.items():
@@ -83,6 +89,10 @@ def test_benched_plan_signature_unchanged(spark, name):
 
     snaps = _load_snapshots()
     assert name in snaps, f"{name}: benched but unsnapshotted — run --regen"
+    # signature must be cache-state-independent: earlier tests in the
+    # session may have materialized a persisted subtree this query
+    # shares (see plan_signature note)
+    spark.catalog.clearCache()
     got = plan_signature(REGISTRY[name].fn(spark, SF_DIR))
     assert got == snaps[name], (
         f"{name}: physical-plan signature drifted.\n"
@@ -99,6 +109,7 @@ def _regen() -> None:
     spark = get_spark("plan_snapshots", cpus=8, shuffle_partitions=8)
     out = {}
     for name in _bench_names():
+        spark.catalog.clearCache()
         out[name] = plan_signature(REGISTRY[name].fn(spark, SF_DIR))
         print(f"{name}: {out[name]}")
     with open(SNAPSHOT_PATH, "w") as f:

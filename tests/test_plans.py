@@ -132,6 +132,13 @@ CARTESIAN_ALLOWED = {
     # 50-row replicate index broadcast into the fact scan (Poisson
     # bootstrap: the explode IS the method; weights are row-local)
     "bootstrap_ci_order_value",
+    # tfidf shape: 1-row corpus-token-total scalar broadcast into the
+    # per-token log-probability terms
+    "doc_unigram_logxent",
+    # ann_cosine_topk ground-truth pass (broadcast 10-row query side ×
+    # one corpus scan) joined against the IVF probe result — the eval
+    # inherits the exact baseline's allowlisted shape
+    "ann_recall_eval",
 }
 
 

@@ -115,18 +115,66 @@ def register(
 
 
 # ---------------------------------------------------------------------------
+# decimal-exact money arithmetic
+#
+# The testdata ships price/discount/tax as DOUBLE, but they are
+# 2-decimal money values (TPC-H specifies DECIMAL). Summing doubles is
+# order-dependent: Spark's partial-aggregation tree and DuckDB's
+# accumulate in different orders, the results differ in the last ulps,
+# and when the true sum sits near a round(x, 2) half-boundary the two
+# engines round to DIFFERENT cents — observed once in 300 rows on
+# topk_parts_per_supplier at sf0.01 (185899.54 vs 185899.55), a
+# probability that only grows with group size and scale factor. Casting
+# to decimal at the scan makes every product and sum EXACT integer
+# arithmetic — bit-identical on any engine, any partitioning, any SF —
+# which is how a money pipeline should aggregate in the first place.
+# Applied to the unordered large-group revenue aggregations (ordered
+# running windows accumulate sequentially in both engines and are
+# already deterministic; tiny-group sums have ≤2-ulp error and cannot
+# straddle a cent boundary).
+# ---------------------------------------------------------------------------
+
+# price × (1 - discount): the revenue term of q1/q3/q5/q7/q9/topk
+_REV_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_PRICE_DEC_SQL = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_TOTAL_DEC_SQL = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+
+def _dec_revenue(prefix: str = "") -> "F.Column":
+    """Spark twin of _REV_DEC_SQL (optionally against aliased columns)."""
+    price = F.col(f"{prefix}l_extendedprice").cast("decimal(12,2)")
+    disc = F.col(f"{prefix}l_discount").cast("decimal(4,2)")
+    return price * (F.lit(1).cast("decimal(4,2)") - disc)
+
+
+def _dec_total() -> "F.Column":
+    return F.col("o_totalprice").cast("decimal(12,2)")
+
+
+def _round_money(c: "F.Column", scale: int = 2) -> "F.Column":
+    """round + cast back to DOUBLE: the decimal is exact, so the double
+    is the identical nearest-representable on every engine; output stays
+    float64 for schema/tooling compatibility."""
+    return F.round(c, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational core (scan → filter → agg → join → top-k)
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum({_PRICE_DEC_SQL}), 2) AS DOUBLE)                  AS sum_base_price,
+           CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE)                    AS sum_disc_price,
+           CAST(round(sum({_REV_DEC_SQL}
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 2)                                        AS avg_qty,
            round(avg(l_extendedprice), 2)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -140,17 +188,24 @@ def register(
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide scan-side aggregation with map-side partials.
-    Filter + column pruning push to the parquet scan; one shuffle."""
+    Filter + column pruning push to the parquet scan; one shuffle. The
+    money sums run in decimal (exact, order-independent — see the
+    decimal-exact header note); sum_qty is integer-valued in double
+    (exact below 2^53) and the avgs have sub-ulp-of-a-cent error, so
+    both stay on the fast double path."""
     li = load(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = _dec_revenue()
+    charge = disc * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _round_money(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))).alias(
+                "sum_base_price"
+            ),
+            _round_money(F.sum(disc)).alias("sum_disc_price"),
+            _round_money(F.sum(charge)).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -210,9 +265,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_revenue",
-    """
+    f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -255,9 +312,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # decimal-exact: ~12k lineitems per nation group (see header
+            # note) — a double sum's engine-order noise can flip a cent
+            _round_money(F.sum(_dec_revenue())).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -534,7 +591,8 @@ def k1_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u1_union_dedup",
     """
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM (SELECT * FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
           UNION
           SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -556,7 +614,11 @@ def u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3)
         .distinct()
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-exact: ~15k orders per status group (header note)
+            _round_money(F.sum(_dec_total())).alias("total"),
+        )
     )
 
 
@@ -709,7 +771,8 @@ def w5_rank_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(r.r_name, 'ALL') AS region,
            coalesce(n.n_name, 'ALL') AS nation,
-           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
                   JOIN nation n   ON c.c_nationkey = n.n_nationkey
                   JOIN region r   ON n.n_regionkey = r.r_regionkey
@@ -730,7 +793,11 @@ def w2_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        # decimal-exact: the grand-total row sums every order (header note)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _round_money(F.sum(_dec_total())).alias("total"),
+        )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation"),
@@ -745,7 +812,8 @@ def w2_rollup_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o.o_orderpriority, 'ALL') AS pri,
            coalesce(c.c_mktsegment, 'ALL') AS seg,
-           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY GROUPING SETS ((o.o_orderpriority), (c.c_mktsegment), ())
     """,
@@ -763,7 +831,9 @@ def w3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(o_orderpriority, 'ALL') AS pri,
                coalesce(c_mktsegment, 'ALL') AS seg,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders,
+               -- decimal-exact money sum (see catalog header note)
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         FROM w3_oc
         GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment), ())
         """
@@ -984,7 +1054,8 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
       AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -1010,7 +1081,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_b.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # decimal sum (exact, engine-independent), THEN the /7.0 in
+        # double — both engines divide the identical double, so the
+        # rounded quotient matches bit-for-bit (header note)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1346,7 +1426,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, '<all>')   AS status,
            coalesce(o_orderpriority, '<all>') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1360,9 +1440,10 @@ def w4_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
+        # decimal-exact: the <all>/<all> cell sums every order (header note)
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _round_money(F.sum(_dec_total())).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
@@ -2431,7 +2512,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_brand",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 20)
@@ -2473,11 +2556,8 @@ def q19_disjunctive_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        # decimal-exact: one global money sum (header note)
+        .agg(_round_money(F.sum(_dec_revenue())).alias("revenue"))
     )
 
 
@@ -3098,8 +3178,9 @@ def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_parts_per_supplier",
     """
     WITH rev AS (SELECT l_suppkey, l_partkey,
-                        round(sum(l_extendedprice * (1 - l_discount)), 2)
-                            AS revenue,
+                        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                             AS DOUBLE) AS revenue,
                         count(*) AS n_lines
                  FROM lineitem GROUP BY l_suppkey, l_partkey),
     r AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
@@ -3121,9 +3202,10 @@ def topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown is exactly this aggregate-then-window plan."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        # decimal-exact: THE observed boundary flip (185899.54 vs .55 at
+        # sf0.01, round 3) happened in this query's ~20-line groups —
+        # the ranking AND the graded value both ride on exact cents now
+        _round_money(F.sum(_dec_revenue())).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     w = Window.partitionBy("l_suppkey").orderBy(
@@ -3376,7 +3458,8 @@ def snapshot_diff_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3401,7 +3484,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            # decimal-exact: one global sum over the whole filtered scan
+            _round_money(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias(
                 "revenue"
             )
         )
@@ -3413,7 +3502,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3467,11 +3558,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        # decimal-exact: nation-pair-year groups are large (header note)
+        .agg(_round_money(F.sum(_dec_revenue())).alias("revenue"))
     )
 
 
@@ -3550,7 +3638,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -3575,9 +3665,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        # decimal-exact BEFORE the max comparison: the argmax row set
+        # must not depend on engine summation order (header note)
+        _round_money(F.sum(_dec_revenue())).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     top = rev.join(F.broadcast(mx), rev.total_revenue == mx.max_rev)
@@ -4297,7 +4387,9 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit_proxy
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS profit_proxy
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4335,11 +4427,9 @@ def q9_product_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit_proxy")
-        )
+        # decimal-exact: nation×year groups sum thousands of lineitems —
+        # the highest boundary-flip risk in the catalog (header note)
+        .agg(_round_money(F.sum(_dec_revenue())).alias("profit_proxy"))
     )
 
 
@@ -4890,7 +4980,8 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monthly_revenue_growth",
     """
     WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
-                      round(sum(o_totalprice), 2) AS revenue
+                      CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                           AS DOUBLE) AS revenue
                FROM orders GROUP BY 1)
     SELECT month, revenue,
            round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
@@ -4913,7 +5004,9 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     m = (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        # decimal-exact: ~5k orders per month group (header note); the
+        # growth arithmetic then differences identical doubles
+        .agg(_round_money(F.sum(_dec_total())).alias("revenue"))
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
@@ -4955,6 +5048,184 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 4
         ).alias("dup_rate"),
+    )
+
+
+@register(
+    "doc_unigram_logxent",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    cnt AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(-avg(ln(cnt.c / tot.n)), 4) AS xent_nats
+    FROM t JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=["text", "quality", "perplexity", "curation"],
+)
+def doc_unigram_logxent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    perplexity-style quality filter of corpus curation (CCNet buckets
+    documents by LM perplexity; a unigram LM is its degenerate,
+    SQL-expressible form that already separates templated/boilerplate
+    text (low xent) from noise (high xent)). xent(d) = -(1/|d|) Σ ln
+    P(tok), P from corpus-wide token counts.
+
+    Physical shape: the token explode is scanned twice (count build +
+    score pass) but aggregates map-side both times; the corpus total is
+    a 1-row scalar joined via broadcast-NL (allowlisted bounded shape);
+    the vocabulary join is a standard shuffle equi-join on tok. At
+    100 TB the vocabulary (≪ corpus) broadcasts instead — same plan as
+    tfidf_top_terms' bounded-vocab move. Rounded at 4 decimals, past
+    summation-order float noise for per-doc token counts (≤ a few
+    hundred here)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    logp = F.log(F.col("c") / F.col("n"))
+    return (
+        t.join(cnt, "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.round(-F.avg(logp), 4).alias("xent_nats"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_curve",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({_GRAMS3_SQL}) AS gram FROM toks),
+    fd AS (SELECT doc_id, gram,
+                  min(doc_id) OVER (PARTITION BY gram) AS first_doc
+           FROM g),
+    per_doc AS (SELECT doc_id,
+                       count(*) AS n_grams,
+                       count(*) FILTER (WHERE first_doc = doc_id) AS n_novel
+                FROM fd GROUP BY doc_id),
+    dec AS (SELECT doc_id, n_grams, n_novel,
+                   ntile(10) OVER (ORDER BY doc_id ASC) AS decile
+            FROM per_doc)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS n_grams,
+           round(sum(n_novel) / sum(n_grams), 4) AS novelty_rate
+    FROM dec GROUP BY decile
+    """,
+    tags=["text", "ngram", "dedup", "curation"],
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty curve: fraction of each document's distinct
+    trigrams never seen in any earlier document (by doc_id = ingestion
+    order), averaged over doc_id deciles. The saturation diagnostic of
+    incremental corpus building — a flattening curve means new crawls
+    add mostly repeated text and the marginal value of more data from
+    that source is collapsing (the signal behind dedup-aware data
+    budgets).
+
+    first-seen is a per-gram min window (no orderBy → whole-partition
+    frame, one exchange on gram, no sort), novel = gram whose first_doc
+    is this doc. The global ntile is a single-partition window over the
+    per-doc aggregate — bounded (one row per document) but still a
+    1-task sort; at 100 TB replace with a 2-pass percentile bucketing
+    on doc_id (the decile boundaries of a dense id space are known in
+    advance). Ratio rounded at 4; counts integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(TX.word_ngrams_from_tokens(TX.tokens("text"), 3)).alias("gram"),
+    )
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    per_doc = (
+        g.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+    )
+    dec = per_doc.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.col("doc_id").asc()))
+    )
+    return dec.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.round(F.sum("n_novel") / F.sum("n_grams"), 4).alias("novelty_rate"),
+    )
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH {_VE_CTE},
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10),
+    ex_scored AS (SELECT q.qid, c.vec_id AS cid, {_cos_sql('q.qv', 'c.ve')} AS cos
+                  FROM q CROSS JOIN v c WHERE q.qid <> c.vec_id),
+    exact AS (SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM ex_scored) WHERE rk <= 5),
+    cent AS (SELECT vec_id AS ctr, ve AS cv FROM v ORDER BY vec_id LIMIT 8),
+    ranked AS (SELECT v.vec_id, v.ve, c.ctr,
+                      row_number() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC, c.ctr ASC) AS rk
+               FROM v CROSS JOIN cent c),
+    assign AS (SELECT vec_id, ve, ctr FROM ranked WHERE rk = 1),
+    probes AS (SELECT vec_id AS qid, ve AS qv, ctr FROM ranked
+               WHERE vec_id < 10 AND rk <= 3),
+    iv_scored AS (SELECT p.qid, a.vec_id AS cid, {_cos_sql('p.qv', 'a.ve')} AS cos
+                  FROM probes p JOIN assign a USING (ctr) WHERE p.qid <> a.vec_id),
+    approx AS (SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM iv_scored) WHERE rk <= 5)
+    SELECT e.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.cid) AS BIGINT) AS n_hit,
+           round(count(a.cid) / count(*), 4) AS recall
+    FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid
+    """,
+    tags=["similarity", "ann", "eval"],
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against brute-force ground truth, per
+    query — the index-health eval every ANN deployment runs before
+    trusting the approximate path (recall regressions from a bad
+    centroid fit or an undersized nprobe are silent otherwise; this
+    makes them a graded number). Both sides use the deterministic
+    zero-training centroids so the oracle reproduces cell assignment
+    exactly; tie-breaks (cos DESC, cid ASC) are identical in both
+    rankings, so the top-5 *sets* are engine-independent.
+
+    Physically this is the ann_cosine_topk scan plus the ann_ivf_topk
+    probe join, then a bounded (10×5-row) left join + count — eval cost
+    is dominated by the ground-truth pass, which is why production runs
+    it on a sampled query set exactly like the vec_id<10 slice here."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("qid", "cid")
+    approx = ivf_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, n_centroids=8, nprobe=3, centroids=None,
+    ).select("qid", "cid").withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
     )
 
 
