@@ -5064,6 +5064,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t JOIN cnt USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
+    bench=True,
     tags=["text", "quality", "perplexity", "curation"],
 )
 def doc_unigram_logxent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5082,9 +5083,18 @@ def doc_unigram_logxent(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_top_terms' bounded-vocab move. Rounded at 4 decimals, past
     summation-order float noise for per-doc token counts (≤ a few
     hundred here)."""
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # persist the vocab-sized counts (the tfidf move): without it the
+    # corpus-total branch re-runs tokenize→explode→aggregate from the
+    # scan and the explode subtree executes 3×, not 2×
+    cnt = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = cnt.agg(F.sum("c").alias("n"))
     logp = F.log(F.col("c") / F.col("n"))
     return (

@@ -162,9 +162,23 @@ def session_windows(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
 
 
 def watermarked_distinct(stream: DataFrame, keys: list[str]) -> DataFrame:
-    """Streaming dropDuplicates on key columns with a watermark bounding
-    the dedup state (the batch equivalent is SELECT DISTINCT keys)."""
-    return stream.withWatermark("ts", "30 minutes").select(*keys).dropDuplicates(keys)
+    """Streaming distinct on key columns with state bounded by the
+    watermark (batch equivalent: SELECT DISTINCT keys).
+
+    Uses dropDuplicatesWithinWatermark, NOT dropDuplicates(keys): with
+    the event-time column projected away from the dedup subset, plain
+    dropDuplicates keeps every key forever — the watermark exists but
+    can never evict, unbounded state at 100 TB (the same defect the
+    round-2 advisor flagged on union_dedup_window_counts). The
+    within-watermark form evicts a key at the horizon; a duplicate
+    arriving later re-emits — the standard streaming-dedup contract,
+    and identical output on watermark-bounded duplicates."""
+    return (
+        stream.withWatermark("ts", "30 minutes")
+        .select("ts", *keys)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
 
 
 def interval_join(
