@@ -139,6 +139,9 @@ CARTESIAN_ALLOWED = {
     # one corpus scan) joined against the IVF probe result — the eval
     # inherits the exact baseline's allowlisted shape
     "ann_recall_eval",
+    # q11's HAVING-vs-global-total: exactly-one-row grand-total scalar
+    # broadcast into the per-part filter (q22's canonical shape)
+    "q11_important_stock",
 }
 
 

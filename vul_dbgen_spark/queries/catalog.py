@@ -5239,6 +5239,297 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_brand, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 15 AND r.r_name = 'EUROPE'
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+    LIMIT 100
+    """,
+    tags=["tpch-shape", "correlated-min", "decorrelation"],
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, correlated MIN subquery),
+    adapted to this schema: the testdata has no partsupp table, so the
+    part↔supplier cost association is derived from lineitem
+    (unit_cost = min observed price/quantity per pair) — same join
+    topology, same correlated-aggregate semantics.
+
+    The correlated `cost = (SELECT min(...) WHERE same part)` is
+    decorrelated into a window MIN over p_partkey — the textbook
+    rewrite Catalyst cannot always do for us when the subquery carries
+    its own join tree. Plan: one shuffle for the (partkey, suppkey)
+    cost aggregate; supplier⨝nation⨝region collapses to a pinned
+    broadcast (region/nation bounded, supplier a thin dim); the window
+    MIN reuses the partkey exchange of the part join. The equality
+    predicate on doubles is engine-safe because both engines take MIN
+    over the *identical* set of IEEE quotients — no arithmetic, no
+    reassociation. Final TakeOrderedAndProject(100) with a fully
+    deterministic tie-break (acctbal DESC, partkey, name).
+
+    unit_cost ships UN-rounded: both engines hold the bit-identical
+    IEEE double (a MIN over the same quotients), whereas round(x, 4)
+    re-introduces engine-specific decimal rounding of a binary double —
+    observed once at sf0.001 (26.24125 → 26.2412 vs 26.2413). Rounding
+    is for *reassociated* aggregates; an exact double round-trips.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey", "p_brand")
+    )
+    joined = eu_cost.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    best = joined.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(4,0))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(round(part_value, 2) AS DOUBLE) AS part_value
+    FROM val, (SELECT sum(part_value) AS total FROM val) t
+    WHERE part_value > t.total * CAST(0.001 AS DECIMAL(4,3))
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+    tags=["tpch-shape", "having-global-scalar", "scalar-broadcast"],
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: groups whose value exceeds a
+    fraction of the GLOBAL total), adapted — part value is the shipped
+    extendedprice×quantity from one region's suppliers in place of
+    partsupp's supplycost×availqty.
+
+    The HAVING-against-a-global-scalar is the interesting operator:
+    the per-part aggregate is computed ONCE, persisted through reuse,
+    and its 1-row grand total broadcasts back into the filter
+    (allowlisted BNLJ: exactly-one-row scalar — bounded at every SF).
+    All value arithmetic is decimal-exact (money × integral quantity),
+    so the threshold comparison `part_value > total * 0.001` is
+    bit-identical on any engine and any partitioning — a float total
+    here would make borderline groups flap between engines. Supplier
+    region membership is a pinned broadcast (thin dim). One data
+    shuffle (partkey aggregate) end to end.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_quantity").cast("decimal(4,0)")
+            ).alias("part_value")
+        )
+    )
+    total = val.agg(F.sum("part_value").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total") * F.lit("0.001").cast("decimal(4,3)"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    tags=["tpch-shape", "not-in", "anti-join", "count-distinct"],
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part attribute, with a
+    NOT IN supplier exclusion) — the excluded set is negative-balance
+    suppliers in place of the reference schema's complaint-comment
+    scan.
+
+    NOT IN over a nullable-typed subquery is a correctness trap (any
+    NULL empties the result); s_suppkey is non-null so the DuckDB NOT
+    IN and Spark's left_anti are equivalent — and left_anti is the
+    form that scales (broadcast anti against the tiny exclusion list;
+    a literal NOT IN decorrelation can degenerate to NAAJ). Part
+    attribute filters push into the part scan before the fact join;
+    the count-distinct shuffles once on the (brand, type, size) group
+    key with partial aggregation on (group, suppkey) first.
+    """
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").startswith("MEDIUM")
+            & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+@register(
+    "q20_excess_quantity_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey,
+             coalesce(sum(CAST(l.l_quantity AS DECIMAL(4,0))) FILTER (
+               WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l.l_shipdate < TIMESTAMP '1997-01-01'), 0) AS qty_win,
+             sum(CAST(l.l_quantity AS DECIMAL(4,0))) AS qty_all
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE qty_win > CAST(0.2 AS DECIMAL(3,2)) * qty_all)
+    ORDER BY s_name ASC
+    """,
+    tags=["tpch-shape", "nested-agg-semi-join", "conditional-agg"],
+)
+def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers whose holdings of a name-matched part
+    exceed a fraction of shipped volume — a semi-join against a nested
+    aggregate threshold), adapted: a supplier qualifies when their 1996
+    shipments of '%red%' parts exceed 20% of their all-time shipped
+    quantity of those parts (the data spans 1995–2001, so a one-year
+    share >20% is genuinely selective: 15/100 suppliers at sf0.01, not
+    a vacuous all-pass).
+
+    Q20's two nested subqueries (name-LIKE part set, then the
+    correlated half-sum) become: part-filter semi-join pushed below the
+    aggregate, ONE conditional-sum pass over the filtered fact (the
+    windowed and all-time sums share the same scan — no second read),
+    decimal-exact quantities so the 0.2·total threshold can't flap,
+    then a broadcast semi-join into the supplier dim. One shuffle
+    (suppkey aggregate) over a heavily pre-filtered fact.
+    """
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    in_win = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.coalesce(F.sum(F.when(in_win, qty)), F.lit(0).cast("decimal(14,0)")).alias("qty_win"),
+            F.sum(qty).alias("qty_all"),
+        )
+    )
+    excess = shipped.filter(
+        F.col("qty_win") > F.lit("0.2").cast("decimal(3,2)") * F.col("qty_all")
+    ).select("l_suppkey")
+    sup = load(spark, sf_dir, "supplier").join(
+        F.broadcast(load(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        sup.join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy(F.col("s_name").asc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
