@@ -127,7 +127,7 @@ def main() -> None:
             "dedup_minhash_lsh_pairs", "q5_region_revenue",
             "topk_parts_per_supplier", "centroid_assign_confusion",
             "q1_pricing_summary", "q9_product_profit_shape",
-            "doc_unigram_logxent",
+            "doc_unigram_logxent", "q2_min_cost_supplier",
         ]
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}

@@ -360,6 +360,75 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Stacked LSH band rows ``(doc, band)`` — the band string embeds the
+    band index, so equality on ``band`` alone is the bucket condition.
+
+    This is the persistable index form: at scale the corpus's band table
+    is written once (partitioned by a band prefix) and only APPENDED as
+    new batches arrive — incremental dedup never recomputes old
+    signatures."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{j}") for j in range(b, b + band_size)])
+        .alias(f"band{b // band_size}")
+        for b in range(0, num_hashes, band_size)
+    ]
+    banded = sig.select(F.col(id_col).alias("doc"), *bands)
+    return banded.selectExpr(
+        "doc",
+        "stack({}, {}) as (band)".format(
+            num_hashes // band_size,
+            ", ".join(f"band{i}" for i in range(num_hashes // band_size)),
+        ),
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Screen a NEW batch against an EXISTING corpus: one boolean per
+    delta doc — does it share at least one MinHash band with any corpus
+    doc?
+
+    This is the production shape of dedup for continuously-ingested
+    training data: the corpus is never re-paired against itself (that
+    cost was paid when each batch arrived), and the delta is screened
+    with a LEFT SEMI join into the corpus band table — no pair
+    enumeration at all, so a delta doc matching a million corpus docs
+    costs one probe, not a million output rows. At 100 TB the corpus
+    band table is a bucketed/partitioned-by-band-prefix parquet index
+    maintained append-only (see minhash_bands); the screen reads only
+    the delta's bands plus the matched band buckets.
+    """
+    c_bands = minhash_bands(corpus, id_col, text_col, n, num_hashes, band_size)
+    d_bands = minhash_bands(delta, id_col, text_col, n, num_hashes, band_size)
+    hit = (
+        d_bands.join(c_bands, "band", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        delta.select(id_col)
+        .join(hit, id_col, "left")
+        .select(id_col, F.coalesce(F.col("__hit"), F.lit(False)).alias("is_dup"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 2, bits: int = 60) -> DataFrame:
     """SimHash fingerprint of the shingle set (unweighted, 60 bits).
 

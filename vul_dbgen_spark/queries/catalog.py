@@ -26,6 +26,7 @@ from ..operators.dedup import (
     duplicated_substring_spans,
     ngram_containment,
     exact_dedup_groups,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1342,6 +1343,52 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (bands of 2 over 8 minhashes) — the 100 TB path
     that avoids the all-pairs join."""
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _incremental_dedup_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        f"'{b}' || '|' || mh{b} || '|' || mh{b + 1}"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sig AS (SELECT doc_id, {sig_cols} FROM grams),
+    bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+    hit AS (SELECT DISTINCT d.doc_id FROM bands d JOIN bands c USING (band)
+            WHERE d.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+    SELECT dd.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+    LEFT JOIN hit h ON h.doc_id = dd.doc_id
+    """
+
+
+@register(
+    "dedup_incremental",
+    _incremental_dedup_oracle(8, 2),
+    bench=True,
+    tags=["dedup", "minhash", "incremental", "semi-join"],
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus incremental dedup: even doc_ids play the standing
+    corpus, odd doc_ids the newly-ingested batch; each delta doc gets a
+    boolean — shares ≥1 MinHash band with any corpus doc.
+
+    The operator (operators/dedup.py:incremental_minhash_dedup) is the
+    production shape for continuously-ingested training data: the
+    corpus's band table is append-only (never re-paired against
+    itself), and the screen is a LEFT SEMI probe — a delta doc matching
+    a million corpus docs costs one probe, not 10⁶ pair rows, which is
+    what makes this form safe where the all-pairs LSH join would melt
+    on a hot band."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_minhash_dedup(corpus, delta, "doc_id", "text")
 
 
 @register(
@@ -5264,6 +5311,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
     LIMIT 100
     """,
+    bench=True,
     tags=["tpch-shape", "correlated-min", "decorrelation"],
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5416,6 +5464,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand, p.p_type, p.p_size
     ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
     """,
+    bench=True,
     tags=["tpch-shape", "not-in", "anti-join", "count-distinct"],
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
