@@ -73,3 +73,21 @@ def test_minhash_lsh_pairs_partitioning_invariant(docs):
     base = _rows(minhash_lsh_pairs(d.repartition(1), "doc_id", "text"))
     assert base
     assert _rows(minhash_lsh_pairs(d.repartition(64), "doc_id", "text")) == base
+
+
+def test_cell_balanced_sample_partitioning_invariant(spark):
+    from vul_dbgen_spark.operators.similarity import cell_balanced_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    parts = [
+        emb.repartition(1),
+        emb.repartition(64),
+        emb.repartitionByRange(3, F.col("vec_id") % 2),
+    ]
+    base = _rows(cell_balanced_sample(parts[0], "vec_id", "embedding", cap=10))
+    # the cap must actually bind somewhere (avg cell size > 10 at sf0.001)
+    assert 0 < len(base) <= 8 * 10
+    for part in parts[1:]:
+        assert (
+            _rows(cell_balanced_sample(part, "vec_id", "embedding", cap=10)) == base
+        )

@@ -418,6 +418,53 @@ def ivf_hard_negatives(
     )
 
 
+def cell_balanced_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap: int,
+    n_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Diversity-capped sampling: at most ``cap`` vectors per IVF cell.
+
+    Training corpora are mode-skewed — boilerplate clusters (license
+    headers, templated pages) can be 100× denser than the long tail, and
+    uniform sampling reproduces the skew. Capping per semantic cell
+    keeps the tail intact while bounding every mode: the greedy-k-center
+    objective's scalable cousin (true k-center is inherently sequential;
+    per-cell caps need one shuffle and no iteration).
+
+    Determinism contract (same as the md5 samplers): the within-cell
+    order is ``(md5(id), id)`` — rerun-stable, partitioning-invariant,
+    and independent of input row order, so the sample is reproducible
+    bit-for-bit on any cluster layout. One shuffle (window on cell);
+    assignment is a codegen column expression against the tiny broadcast
+    centroid table, exactly like :func:`ivf_topk`.
+    """
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+
+    assigned = corpus.select(
+        F.col(id_col),
+        _argmin_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, F.col("cell").cast("int").alias("cell"))
+    )
+
+
 def write_ivf_cells(
     corpus: DataFrame,
     path: str,

@@ -1818,6 +1818,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_cell_balanced",
+    None,  # oracle assigned below (needs _VE_CTE helpers) — see _cell_balanced_oracle
+    tags=["sampling", "diversity", "ivf"],
+)
+def sample_cell_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped sampling: ≤10 vectors per IVF cell, so dense
+    boilerplate modes can't dominate the training mix while the long
+    tail survives intact (operators/similarity.py:cell_balanced_sample
+    — the scalable cousin of greedy k-center, which is inherently
+    sequential). Zero-training centroids keep the cell assignment
+    engine-exact; the within-cell (md5(id), id) order makes the sample
+    bit-reproducible under any partitioning."""
+    emb = load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cell_balanced_sample
+
+    return cell_balanced_sample(emb, "vec_id", "embedding", cap=10, n_centroids=8)
+
+
+def _cell_balanced_oracle(n_centroids: int = 8, cap: int = 10) -> str:
+    return f"""
+    WITH {_VE_CTE},
+    cent AS (SELECT vec_id AS ctr, ve AS cv FROM v ORDER BY vec_id LIMIT {n_centroids}),
+    ranked AS (SELECT v.vec_id, c.ctr,
+                      row_number() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC, c.ctr ASC) AS rk
+               FROM v CROSS JOIN cent c),
+    assign AS (SELECT vec_id, ctr AS cell FROM ranked WHERE rk = 1),
+    capped AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY cell
+                                         ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+               FROM assign)
+    SELECT vec_id, CAST(cell AS INT) AS cell FROM capped WHERE rk <= {cap}
+    """
+
+
+REGISTRY["sample_cell_balanced"].oracle = _cell_balanced_oracle()
+
+
 def _ann_ivf_kmeans_oracle(nprobe: int = 3, k: int = 5) -> str:
     cent_rows = ", ".join(
         f"({cid}, {_plane_lit(vec)})" for cid, vec in KMEANS_CENTROIDS_SF001
