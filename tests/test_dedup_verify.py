@@ -102,3 +102,34 @@ def test_centroid_confusion_total_and_separability(spark):
     # must beat the 10-class chance floor by a wide margin (observed
     # ~0.37 at sf0.001)
     assert diag / total > 0.25
+
+
+def test_incremental_dedup_consistent_with_full_lsh(spark):
+    # the delta screen must flag EXACTLY the delta docs that the full
+    # corpus-wide LSH pair join links to at least one corpus doc — the
+    # semi-join is an optimization, never a semantics change
+    from pyspark.sql import functions as F
+
+    from vul_dbgen_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+
+    flagged = {
+        r.doc_id
+        for r in incremental_minhash_dedup(corpus, delta, "doc_id", "text")
+        .filter("is_dup")
+        .collect()
+    }
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    cross = set()
+    for r in pairs:
+        if r.doc_a % 2 != r.doc_b % 2:  # one side delta, one side corpus
+            cross.add(r.doc_a if r.doc_a % 2 == 1 else r.doc_b)
+    assert flagged == cross
+    assert flagged  # non-vacuous: the testdata contains cross-parity dups
