@@ -2283,6 +2283,37 @@ def stream_static_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_semi_filter_counts",
+    """
+    SELECT e.event_type, count(*) AS n_events
+    FROM events e
+    WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+    GROUP BY e.event_type
+    """,
+    tags=["streaming", "stream-static-join", "semi-join"],
+)
+def stream_semi_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT SEMI membership screen: only events from users
+    in an allowlist (customers of nations 0-4) reach the aggregate —
+    pure membership, no dimension columns widen the stream, no join
+    state (streaming/ops.py:stream_static_semi_filter_counts). Bounded
+    input makes it batch-equivalent, so the oracle is the plain IN
+    subquery."""
+    stream = ST.events_stream(spark, sf_dir)
+    allow = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select("c_custkey")
+    )
+    return ST.run_to_memory(
+        ST.stream_static_semi_filter_counts(
+            stream, allow, "user_id", "c_custkey", "event_type"
+        ),
+        "stream_semi_filter_counts_out",
+    )
+
+
+@register(
     "stream_session_windows",
     """
     WITH marked AS (

@@ -140,6 +140,24 @@ def stream_static_enrich_counts(
     )
 
 
+def stream_static_semi_filter_counts(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str, group_col: str
+) -> DataFrame:
+    """Stream-static LEFT SEMI: screen events against a batch membership
+    table (allowlist/denylist) before aggregating — the streaming twin
+    of the incremental delta-vs-corpus dedup screen.
+
+    Unlike the enrich join, no dimension columns survive — the semi-join
+    is pure membership, so nothing widens the stream and no join state
+    is kept; the static side re-plans per micro-batch, so an allowlist
+    update applies from the next batch without a restart."""
+    return (
+        stream.join(dim, stream[stream_key] == dim[dim_key], "left_semi")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def session_windows(stream: DataFrame, gap: str = "1 hour") -> DataFrame:
     """Per-user session windows: events merge while each arrives within
     ``gap`` of the session's end (session_window semantics: a new
