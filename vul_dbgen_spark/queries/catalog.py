@@ -5672,6 +5672,86 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (SELECT doc_id, {{TOKS}} AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+             WHERE term IN ({{TERMS}})
+             GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM post GROUP BY term),
+    bm AS (SELECT doc_id,
+                  round(sum(ln(1 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                            * p.tf * 2.2
+                            / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))), 4) AS score
+           FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+           GROUP BY doc_id
+           ORDER BY score DESC, doc_id ASC LIMIT 20),
+    tr AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rt
+           FROM bm),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    scored AS (SELECT c.vec_id AS doc_id,
+                      list_dot_product(q.qv, c.ve)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+               FROM q CROSS JOIN v c WHERE c.vec_id <> 0),
+    vr AS (SELECT doc_id, rv FROM (
+             SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rv
+             FROM scored) WHERE rv <= 20)
+    SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + tr.rt), 0) + coalesce(1.0 / (60 + vr.rv), 0) AS rrf
+    FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """.replace("{TOKS}", _TOKS_SQL).replace("{TERMS}", _BM25_TERMS_SQL),
+    tags=["search", "hybrid", "rrf", "retrieval"],
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 top-20 for the
+    term query ∪ cosine top-20 for the query vector (vec_id 0), fused by
+    rrf = Σ 1/(60+rank) — the standard lexical+semantic blend modern RAG
+    retrieval runs (Cormack et al.'s RRF; k=60 canonical).
+
+    Composition of two already-pinned operators: each branch keeps its
+    own scale path (BM25 postings prune to the query's terms; the exact
+    cosine branch swaps for ivf_topk/lsh_bucket_topk at scale — rank
+    lists are rank lists), and the fusion itself is a 20∪20-row full
+    outer join — driver-trivial at ANY corpus size, which is the point:
+    fusion cost depends on k, not |corpus|. rrf ships as the raw double
+    (both engines evaluate the identical 1/(60+r) sums — no rounding
+    flap; tie-break doc_id pins the cut)."""
+    docs = load(spark, sf_dir, "documents")
+    text = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+    wt = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    tr = text.select("doc_id", F.row_number().over(wt).cast("int").alias("rt"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    vr = brute_force_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=20
+    ).select(F.col("cid").alias("doc_id"), F.col("rank").alias("rv"))
+
+    one = F.lit(1.0)
+    return (
+        tr.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(one / (F.lit(60) + F.col("rt")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(60) + F.col("rv")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
