@@ -142,6 +142,8 @@ CARTESIAN_ALLOWED = {
     # q11's HAVING-vs-global-total: exactly-one-row grand-total scalar
     # broadcast into the per-part filter (q22's canonical shape)
     "q11_important_stock",
+    # 1-row summary × 1-row candidate-count join in the recall eval
+    "dedup_lsh_recall_eval",
 }
 
 

@@ -5672,6 +5672,78 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _lsh_recall_oracle(threshold: float = 0.2, num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        f"'{b}' || '|' || mh{b} || '|' || mh{b + 1}"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sizes AS (SELECT doc_id, len(grams) AS n_grams FROM grams),
+    ex AS (SELECT doc_id, unnest(grams) AS gram FROM grams),
+    truth AS (SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE inter / (sa.n_grams + sb.n_grams - inter) >= {threshold}),
+    sig AS (SELECT doc_id, {sig_cols} FROM grams),
+    bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b USING (band)
+             WHERE a.doc_id < b.doc_id)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth t
+                 JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM truth t
+                  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    _lsh_recall_oracle(0.2, 8, 2),
+    tags=["dedup", "minhash", "lsh", "eval"],
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against exact
+    Jaccard ≥ 0.2 ground truth — the dedup twin of ann_recall_eval:
+    before trusting the banded index at scale, a pipeline grades what
+    fraction of true near-dup pairs survive banding (missed candidates
+    are silent false negatives — this makes them a number). At 100 TB
+    the same eval runs on a SAMPLED document slice (truth is the
+    quadratic exact join, affordable only on the sample), exactly like
+    the ANN eval's 10-query slice; candidates stay the linear band
+    join. Single summary row: |truth|, |candidates|, |hits|, recall."""
+    docs = load(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    cand = minhash_lsh_pairs(docs, "doc_id", "text").withColumn("hit", F.lit(1))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    # candidate-set size joins in as a 1-row aggregate (allowlisted
+    # 1-row × 1-row BNLJ) — no eager driver-side action, one plan
+    cand_n = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    summary = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count("hit").cast("bigint").alias("n_hit"),
+        F.round(
+            F.count("hit") / F.greatest(F.count(F.lit(1)), F.lit(1)), 4
+        ).alias("recall"),
+    )
+    return summary.join(F.broadcast(cand_n)).select(
+        "n_truth", "n_candidates", "n_hit", "recall"
+    )
+
+
 @register(
     "hybrid_search_rrf",
     f"""
