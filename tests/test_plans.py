@@ -144,6 +144,10 @@ CARTESIAN_ALLOWED = {
     "q11_important_stock",
     # 1-row summary × 1-row candidate-count join in the recall eval
     "dedup_lsh_recall_eval",
+    # inherits ann_cosine_topk's shape (broadcast 1-row query vector ×
+    # one corpus scan) through its exact-cosine branch; the fusion join
+    # itself is a bounded 20∪20-row full outer
+    "hybrid_search_rrf",
 }
 
 
