@@ -109,3 +109,94 @@ def test_star_and_label_agree_on_clique_union(spark):
     assert {(r.node, r.component) for r in a.collect()} == {
         (r.node, r.component) for r in b.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# triangle census / PageRank / k-hop BFS
+# ---------------------------------------------------------------------------
+
+from vul_dbgen_spark.operators.graph import khop_levels, pagerank, triangle_stats
+
+
+def test_triangle_stats_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, 12 wedges) plus a pendant 4-5
+    # (adds 3 wedges at node 4's neighbors... recompute: deg(4)=4 so
+    # wedges at 4 = C(4,2)=6; total wedges = 3*C(3,2) + 6 + 0 = 15)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert row["clustering_coeff"] == round(12 / 15, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    # star graph: wedges but no triangles
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], "src: long, dst: long")
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 10
+    assert row["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_duplicate_and_reversed_edges_ignored(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)], "src: long, dst: long"
+    )
+    row = triangle_stats(e).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 3
+
+
+def test_pagerank_star_closed_form(spark):
+    # directed star 1->2, 1->3, 1->4; nodes 2,3,4 are dangling.
+    # Symmetry: r(2)=r(3)=r(4) every iteration; total mass 1.
+    e = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src: long, dst: long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert abs(got[2] - got[3]) < 1e-12 and abs(got[3] - got[4]) < 1e-12
+    # hand-iterate the same recurrence
+    n, d = 4, 0.85
+    r1, ro = 1 / n, 1 / n  # rank of node 1 / of each leaf
+    for _ in range(3):
+        dangling = 3 * ro
+        r1_new = (1 - d) / n + d * (dangling / n)
+        ro_new = (1 - d) / n + d * (r1 / 3 + dangling / n)
+        r1, ro = r1_new, ro_new
+    assert abs(got[1] - r1) < 1e-12
+    assert abs(got[2] - ro) < 1e-12
+
+
+def test_pagerank_cycle_uniform(spark):
+    # a directed cycle is rank-uniform at every iteration
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src: long, dst: long"
+    )
+    got = [r["rank"] for r in pagerank(e, iterations=4).collect()]
+    assert all(abs(x - 0.2) < 1e-12 for x in got)
+
+
+def test_khop_levels_directed_path(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(10)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    got = {r["node"]: r["min_hop"] for r in khop_levels(e, seeds, k=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_khop_levels_min_hop_on_diamond(spark):
+    # two routes to node 4: length 2 (0-1-4) and length 3 (0-2-3-4)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 4), (0, 2), (2, 3), (3, 4)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    got = {r["node"]: r["min_hop"] for r in khop_levels(e, seeds, k=3).collect()}
+    assert got[4] == 2
+    assert got == {0: 0, 1: 1, 2: 1, 4: 2, 3: 2}
+
+
+def test_khop_levels_early_exit_and_direction(spark):
+    # edges point AWAY from 5; BFS from 5 follows direction only
+    e = spark.createDataFrame([(5, 6), (7, 5)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(5,)], "id: long")
+    got = {r["node"]: r["min_hop"] for r in khop_levels(e, seeds, k=4).collect()}
+    assert got == {5: 0, 6: 1}

@@ -32,3 +32,91 @@ def test_vocab_within_heavy_hitters_sketch_capacity(sf):
         f"{HH_MAX_ITEMS_TRACKED} — heavy_hitters_tokens is no longer exact; "
         f"raise the sketch size in the catalog entry"
     )
+
+
+# ---------------------------------------------------------------------------
+# relational Bloom filter / Count-Min sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.operators.sketches import (
+    bloom_build,
+    bloom_screen,
+    cms_build,
+    cms_estimate,
+)
+
+
+def test_bloom_no_false_negatives_and_bounded_size(spark):
+    members = spark.createDataFrame([(i,) for i in range(200)], "k: long")
+    bits = bloom_build(members, "k", m=1 << 12, k=4)
+    assert bits.count() <= min(1 << 12, 4 * 200)
+    screened = bloom_screen(members, "k", bits, m=1 << 12, k=4)
+    # every true member must screen positive
+    assert screened.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_rejects_most_nonmembers(spark):
+    members = spark.createDataFrame([(i,) for i in range(200)], "k: long")
+    bits = bloom_build(members, "k", m=1 << 12, k=4)
+    probes = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], "k: long")
+    fp = bloom_screen(probes, "k", bits, m=1 << 12, k=4).filter(
+        F.col("maybe_member")
+    ).count()
+    # 800 set bits max of 4096 -> per-probe fp rate <= (800/4096)^4 ~ 0.15%;
+    # allow generous slack over 2000 probes
+    assert fp <= 40
+
+
+def test_bloom_merge_is_union_of_bits(spark):
+    a = spark.createDataFrame([(i,) for i in range(50)], "k: long")
+    b = spark.createDataFrame([(i,) for i in range(50, 100)], "k: long")
+    merged = bloom_build(a, "k").union(bloom_build(b, "k")).distinct()
+    whole = bloom_build(a.union(b), "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_overestimates_never_under(spark):
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    items = spark.createDataFrame(rows, "tok: string")
+    cms = cms_build(items, "tok", depth=4, width=32)
+    qs = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "tok: string")
+    est = {
+        r["item"]: r["cms_count"]
+        for r in cms_estimate(cms, qs, "tok", depth=4, width=32).collect()
+    }
+    truth = {"a": 50, "b": 7, "c": 1, "zzz": 0}
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+    # total counter mass per row equals the input size exactly
+    per_row = cms.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    assert all(r["s"] == len(rows) for r in per_row)
+
+
+def test_cms_exact_when_width_exceeds_vocab(spark):
+    # with width >> vocab there are (almost surely) no collisions for
+    # this fixed md5 hash family and tiny vocab; estimates are exact
+    rows = [(w,) for w in ["x", "y", "z"] * 9]
+    items = spark.createDataFrame(rows, "tok: string")
+    cms = cms_build(items, "tok", depth=4, width=4096)
+    qs = items.distinct()
+    est = cms_estimate(cms, qs, "tok", depth=4, width=4096)
+    assert {(r["item"], r["cms_count"]) for r in est.collect()} == {
+        ("x", 9), ("y", 9), ("z", 9)
+    }
+
+
+def test_cms_merge_additive(spark):
+    a = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "tok: string")
+    b = spark.createDataFrame([("a",)] * 3, "tok: string")
+    merged = (
+        cms_build(a, "tok", depth=2, width=64)
+        .union(cms_build(b, "tok", depth=2, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.union(b), "tok", depth=2, width=64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

@@ -189,6 +189,197 @@ def connected_components(
     return lbl
 
 
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    ``n_triangles``, ``n_wedges`` (paths of length 2, closed or open) and
+    the global clustering coefficient 3·triangles/wedges.
+
+    Algorithm: degree-ordered node-iterator (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11) —
+    each undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, wedges are generated only at a node's OUT-edges,
+    and a triangle is counted exactly once: at its unique vertex with
+    out-edges to the other two. The orientation is the scale story —
+    out-degree is bounded by O(√m) even at power-law hubs, so the wedge
+    self-join's per-key fan-out (the "last reducer" that kills the naive
+    node-iterator on a 100 TB graph) stays O(m^{3/2}) total instead of
+    Σ deg², and the skewed hub key disappears BEFORE the shuffle rather
+    than being salted after the fact.
+
+    All shuffles are on node / edge keys; the closing step is an
+    equi-join of candidate wedge pairs against the canonical edge set —
+    never a cartesian. The two scalar aggregates collapse map-side.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient each canonical edge from lower (deg, id) to higher (deg, id)
+    du = deg.select(F.col("u").alias("_n1"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("_n2"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        canon.join(du, canon["u"] == du["_n1"])
+        .join(dv, canon["v"] == dv["_n2"])
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+
+    # wedges at the center a: unordered out-neighbor pairs (b < c by id);
+    # closing edge is looked up in canonical (min, max) form
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedge = (
+        o1.join(o2, "a")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+    )
+    n_tri = wedge.join(canon, ["u", "v"], "left_semi").count()
+    n_wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("w")
+    ).collect()[0]["w"] or 0
+
+    spark = edges.sparkSession
+    coeff = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(int(n_tri), int(n_wedges), float(coeff))],
+        "n_triangles bigint, n_wedges bigint, clustering_coeff double",
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on a directed graph, fixed iteration count, dangling mass
+    redistributed uniformly. Returns (node, rank) with Σ rank = 1.
+
+    A FIXED iteration count (not a convergence threshold) keeps the
+    result a pure deterministic function of the edge set, so an unrolled
+    SQL oracle can verify it exactly — and it is also the production
+    shape: rank pipelines run "k power-iteration sweeps" as k identical
+    stages, which AQE/Catalyst treat as independent jobs.
+
+    Scale shape (the Pregel-without-Pregel plan):
+    - ``edges ⋈ outdeg`` is computed ONCE and persisted — the per-round
+      join touches only (src, dst, outdeg, rank), all narrow columns;
+    - each round is one shuffle: contributions grouped by dst with a
+      map-side partial sum (doubles; order differences are ~1 ulp/round
+      and the published result is rounded far coarser);
+    - the dangling-node mass is a one-number aggregate per round (the
+      same collect-a-scalar budget as the CC convergence probe), never a
+      collect of ranks;
+    - ``localCheckpoint`` per round truncates the lineage so the plan
+      stays O(1) in the round number (the same guard the CC fixpoint
+      uses) — without it Catalyst analysis time dominates by round ~15.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct()
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("node")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = e.join(outdeg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    ew.count()  # materialize once; every round reuses the cached join
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    has_out = outdeg.select(F.col("s").alias("node"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .select(F.col("d"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks
+    nodes.unpersist()
+    ew.unpersist()
+    return out
+
+
+def khop_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    k: int = 3,
+) -> DataFrame:
+    """Directed BFS from a seed set: every node reachable in ≤ k hops,
+    labeled with its minimum hop distance. Returns (node, min_hop).
+
+    Level-synchronous frontier expansion — the textbook distributed BFS:
+    each round joins ONLY the current frontier (not the visited set)
+    against the edge list, anti-joins the visited set to drop
+    re-discoveries, and checkpoints both. The per-round shuffle volume is
+    proportional to the frontier's out-edge count, which for small k is
+    a tiny slice of the graph; the visited set grows monotonically and is
+    only ever the build side of an anti-join on the node key. Early-exits
+    when the frontier empties (one count per round, same probe budget as
+    the CC loop)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    ).distinct()
+    frontier = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
+    visited = frontier.select("node", F.lit(0).alias("min_hop")).localCheckpoint()
+    for hop in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(
+            nxt.select("node", F.lit(hop).alias("min_hop"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def component_summary(assignment: DataFrame, min_size: int = 2) -> DataFrame:
     """Collapse a (node, component) assignment to per-cluster stats,
     keeping only real duplicate groups (size >= min_size). One hash

@@ -47,12 +47,19 @@ from ..operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
-from ..operators.graph import component_summary, connected_components
+from ..operators.graph import (
+    component_summary,
+    connected_components,
+    khop_levels,
+    pagerank,
+    triangle_stats,
+)
 from ..operators.ivf_centroids import KMEANS_CENTROIDS_SF001
 from ..operators.packing import pack_bin_summary, pack_offset_bins
 from ..operators.rangejoin import range_join_bucketed
 from ..operators.sampling import stratified_sample
 from ..operators.search import bm25_topk
+from ..operators.sketches import bloom_build, bloom_screen, cms_build, cms_estimate
 from ..operators.skewjoin import salted_groupby_agg, salted_join
 from ..session import apply_testdata_confs, normalize_event_ts
 from .. import streaming as ST
@@ -5821,6 +5828,425 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over derived product graphs
+#
+# Two deterministic graphs derived from lineitem, reused across entries:
+# - the UNDIRECTED co-purchase graph: parts appearing in the same order
+#   (2k nodes / 116k edges at sf0.01 — dense, triangle-rich);
+# - the DIRECTED "bought-after" graph: consecutive line numbers within an
+#   order, part(i) → part(i+1) (29k edges at sf0.01).
+# ---------------------------------------------------------------------------
+
+_COOC_EDGES_SQL = """
+    SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+_SEQ_EDGES_SQL = """
+    SELECT DISTINCT l1.l_partkey AS s, l2.l_partkey AS d
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l2.l_linenumber = l1.l_linenumber + 1
+    WHERE l1.l_partkey <> l2.l_partkey
+"""
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (u < v canonical). The self-join is
+    an equi-join on l_orderkey — per-order fan-out is the order's line
+    count squared (bounded at 7 in TPC-H shape), never a skew risk."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("v")
+    )
+    return (
+        li.join(l2, (li["l_orderkey"] == l2["_ok"]) & (li["l_partkey"] < l2["v"]))
+        .select(F.col("l_partkey").alias("u"), "v")
+        .distinct()
+    )
+
+
+def _seq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bought-after edges: line i's part → line i+1's part."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("l_linenumber").alias("_ln"),
+        F.col("l_partkey").alias("d"),
+    )
+    return (
+        li.join(
+            l2,
+            (li["l_orderkey"] == l2["_ok"])
+            & (l2["_ln"] == li["l_linenumber"] + 1)
+            & (li["l_partkey"] != l2["d"]),
+        )
+        .select(F.col("l_partkey").alias("s"), "d")
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangle_stats",
+    f"""
+    WITH cooc AS ({_COOC_EDGES_SQL}),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM cooc UNION ALL SELECT v AS node FROM cooc)
+            GROUP BY node),
+    tri AS (SELECT count(*) AS n FROM cooc e1
+            JOIN cooc e2 ON e2.u = e1.v
+            JOIN cooc e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wed AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT n FROM tri) AS n_triangles,
+           (SELECT w FROM wed) AS n_wedges,
+           CASE WHEN (SELECT w FROM wed) = 0 THEN 0.0
+                ELSE 3.0 * (SELECT n FROM tri) / (SELECT w FROM wed)
+           END AS clustering_coeff
+    """,
+    bench=True,
+    tags=["graph", "triangle", "clustering-coefficient"],
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph via the degree-ordered
+    node-iterator (operators/graph.py:triangle_stats — Suri &
+    Vassilvitskii's orientation bounds every wedge-join key's fan-out by
+    O(√m), which is what survives power-law hubs at 100 TB; the naive
+    3-way self-join the ORACLE runs is fine for DuckDB at sf0.01 but is
+    exactly the "curse of the last reducer" shape the operator avoids).
+    clustering_coeff ships unrounded: both engines compute the identical
+    3.0·tri/wedges IEEE division on exact integers."""
+    return triangle_stats(_cooc_edges(spark, sf_dir), "u", "v")
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power iteration (exactly the operator's recurrence, same
+    IEEE op order per term: (1-0.85)/n + 0.85*(contrib + dang/n)). The
+    per-dst contribution sums accumulate in engine-specific order; the
+    drift after {iters} rounds is ≲1e-14, graded at 6 dp."""
+    sql = f"""
+    WITH seq AS ({_SEQ_EDGES_SQL}),
+    nodes AS (SELECT p_partkey AS node FROM part),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM seq GROUP BY s),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+    dang{k} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{k}
+                WHERE node NOT IN (SELECT s FROM outdeg)),
+    c{k} AS (SELECT e.d AS node, sum(r.rank / o.od) AS contrib
+             FROM seq e JOIN r{k} r ON r.node = e.s
+             JOIN outdeg o ON o.s = e.s
+             GROUP BY e.d),
+    r{k + 1} AS (SELECT nodes.node,
+                        (1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * (coalesce(c{k}.contrib, 0)
+                                  + (SELECT m FROM dang{k}) / (SELECT n FROM nn))
+                          AS rank
+                 FROM nodes LEFT JOIN c{k} ON c{k}.node = nodes.node)"""
+    sql += f"""
+    SELECT node AS p_partkey, rank FROM r{iters}
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank_parts",
+    _pagerank_oracle(5),
+    bench=True,
+    tags=["graph", "pagerank", "iterative"],
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed bought-after part graph, 5 fixed power
+    iterations, damping 0.85, dangling mass redistributed — every part is
+    a vertex (parts outside the graph decay to the uniform floor). The
+    fixed iteration count makes the result a pure function of the edge
+    set, verified against a 5-level unrolled SQL oracle. Scale notes in
+    operators/graph.py:pagerank (one shuffle per round on dst, edge⋈outdeg
+    cached once, O(1) plan via localCheckpoint, scalar-only collects)."""
+    parts = load(spark, sf_dir, "part").select("p_partkey")
+    pr = pagerank(
+        _seq_edges(spark, sf_dir),
+        "s",
+        "d",
+        vertices=parts,
+        id_col="p_partkey",
+        iterations=5,
+    )
+    return pr.select(F.col("node").alias("p_partkey"), "rank")
+
+
+def _khop_oracle(k: int = 3) -> str:
+    """Level-synchronous BFS unrolled as EXCEPT-chained frontier CTEs —
+    deterministic min-hop levels without the path-multiplying UNION ALL
+    recursion a recursive CTE would run on this dense cyclic graph."""
+    parts = [
+        f"seq AS ({_SEQ_EDGES_SQL})",
+        "h0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50)",
+    ]
+    for i in range(1, k + 1):
+        prior = " UNION ".join(f"SELECT node FROM h{j}" for j in range(i))
+        parts.append(
+            f"r{i} AS (SELECT DISTINCT e.d AS node FROM seq e "
+            f"JOIN h{i - 1} f ON f.node = e.s)"
+        )
+        parts.append(f"h{i} AS (SELECT node FROM r{i} EXCEPT ({prior}))")
+    levels = " UNION ALL ".join(
+        f"SELECT node, CAST({i} AS INT) AS min_hop FROM h{i}" for i in range(k + 1)
+    )
+    return f"WITH {', '.join(parts)} {levels}"
+
+
+@register(
+    "graph_khop_reach",
+    _khop_oracle(3),
+    tags=["graph", "bfs", "reachability"],
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-hop BFS on the bought-after graph from the p_size = 50
+    seed parts: every part reachable in ≤ 3 hops, labeled with its
+    minimum hop count. Frontier-only expansion (the visited set is never
+    joined against edges, only anti-joined on the node key) — the shape
+    that keeps per-round shuffle volume proportional to the frontier, not
+    the graph (operators/graph.py:khop_levels)."""
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select("p_partkey")
+    )
+    out = khop_levels(
+        _seq_edges(spark, sf_dir), seeds, "s", "d", seed_col="p_partkey", k=3
+    )
+    return out.select(F.col("node").alias("node"), F.col("min_hop").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# relational probabilistic sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASH_SQL = (
+    "('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+)
+
+
+@register(
+    "bloom_screen_orders",
+    f"""
+    WITH members AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500),
+    salts(i) AS (VALUES (0), (1), (2), (3)),
+    bits AS (SELECT DISTINCT
+               {_BLOOM_HASH_SQL.format(i='i', key='c_custkey', m=65536)} AS bit
+             FROM members, salts),
+    probes AS (SELECT DISTINCT o_custkey FROM orders),
+    hits AS (SELECT o_custkey, count(*) AS nb
+             FROM (SELECT o_custkey,
+                          {_BLOOM_HASH_SQL.format(i='i', key='o_custkey', m=65536)} AS bit
+                   FROM probes, salts) p
+             JOIN bits USING (bit)
+             GROUP BY o_custkey),
+    maybe AS (SELECT o_custkey FROM hits WHERE nb = 4),
+    truth AS (SELECT p.o_custkey,
+                     (m.c_custkey IS NOT NULL) AS is_member,
+                     (y.o_custkey IS NOT NULL) AS maybe_member
+              FROM probes p
+              LEFT JOIN members m ON m.c_custkey = p.o_custkey
+              LEFT JOIN maybe y ON y.o_custkey = p.o_custkey)
+    SELECT count(*) AS n_probes,
+           count(*) FILTER (WHERE maybe_member) AS n_maybe,
+           count(*) FILTER (WHERE is_member) AS n_members,
+           count(*) FILTER (WHERE maybe_member AND NOT is_member) AS n_false_pos,
+           count(*) FILTER (WHERE is_member AND NOT maybe_member) AS n_false_neg
+    FROM truth
+    """,
+    tags=["sketch", "bloom", "membership"],
+)
+def bloom_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen, graded cell-for-cell: build a
+    2^16-bit / 4-hash filter over high-balance customers (the md5 hash
+    family is engine-independent, so the DuckDB oracle reproduces the
+    exact same set bits), probe every ordering customer, and score the
+    screen against ground truth. n_false_neg is structurally 0 — the
+    no-false-negatives guarantee, here *verified* rather than assumed.
+    The probe is a broadcast semi-join against the ≤2^16-row bit table;
+    the big side never shuffles (operators/sketches.py scale notes)."""
+    customers = load(spark, sf_dir, "customer")
+    members = customers.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    bits = bloom_build(members, "c_custkey", m=1 << 16, k=4)
+    probes = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    screened = bloom_screen(probes, "o_custkey", bits, m=1 << 16, k=4)
+    truth = screened.join(
+        members.withColumn("is_member", F.lit(True)),
+        screened["o_custkey"] == members["c_custkey"],
+        "left",
+    ).select("o_custkey", "maybe_member", F.coalesce("is_member", F.lit(False)).alias("is_member"))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count_if(F.col("maybe_member")).alias("n_maybe"),
+        F.count_if(F.col("is_member")).alias("n_members"),
+        F.count_if(F.col("maybe_member") & ~F.col("is_member")).alias("n_false_pos"),
+        F.count_if(F.col("is_member") & ~F.col("maybe_member")).alias("n_false_neg"),
+    )
+
+
+@register(
+    "cms_token_counts",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    items AS (SELECT unnest(toks) AS item FROM toks),
+    exact AS (SELECT item, count(*) AS exact_n FROM items GROUP BY item),
+    top AS (SELECT item, exact_n FROM exact
+            ORDER BY exact_n DESC, item ASC LIMIT 50),
+    salts(i) AS (VALUES (0), (1), (2), (3)),
+    cells AS (SELECT i AS row,
+                     {_BLOOM_HASH_SQL.format(i='i', key='item', m=512)} AS bucket,
+                     count(*) AS cnt
+              FROM items, salts GROUP BY 1, 2),
+    probe AS (SELECT item, i AS row,
+                     {_BLOOM_HASH_SQL.format(i='i', key='item', m=512)} AS bucket
+              FROM top, salts),
+    est AS (SELECT p.item, min(coalesce(c.cnt, 0)) AS cms_count
+            FROM probe p LEFT JOIN cells c
+              ON c.row = p.row AND c.bucket = p.bucket
+            GROUP BY p.item)
+    SELECT t.item, t.exact_n, e.cms_count
+    FROM top t JOIN est e ON e.item = t.item
+    """,
+    tags=["sketch", "count-min", "heavy-hitters"],
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4×512, md5 rows) of the document token stream,
+    graded exactly: the oracle rebuilds the identical counter table, so
+    the entry verifies the sketch ALGEBRA (bucket counts, min-estimate)
+    rather than an error bound. Estimates are compared against exact
+    counts for the exact top-50 tokens — on this ~1k vocabulary the 512
+    buckets collide, so cms_count ≥ exact_n strictly for some rows,
+    which is the one-sided error made visible. The counter table is
+    ≤ 2 048 rows at ANY corpus size — the probe join broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    items = docs.select(F.explode(TX.tokens(F.col("text"))).alias("item"))
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("item").asc())
+    top = (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
+    cms = cms_build(items, "item", depth=4, width=512)
+    est = cms_estimate(cms, top.select("item"), "item", depth=4, width=512)
+    return top.join(est, "item").select("item", "exact_n", "cms_count")
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands / sweep-line interval analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "islands_user_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    isl AS (SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INT) AS grp
+            FROM days),
+    st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks,
+           max(len) AS longest_streak
+    FROM st GROUP BY user_id
+    """,
+    tags=["window", "gaps-and-islands", "sessionization"],
+)
+def islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active DAYS via the
+    classic day − row_number() island key (consecutive days share a
+    constant difference). Shuffles once on user_id for the window, then
+    two map-side-combinable aggs; at 100 TB the distinct-day projection
+    collapses the event stream (events/user/day ≫ 1) before any window
+    state exists."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    st = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return st.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@register(
+    "peak_open_lineitems",
+    """
+    WITH iv AS (SELECT l.l_suppkey AS s,
+                       CAST(o.o_orderdate AS DATE) AS st,
+                       CAST(l.l_shipdate AS DATE) + 1 AS en
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    delta AS (SELECT s, st AS day, 1 AS dl FROM iv
+              UNION ALL
+              SELECT s, en AS day, -1 AS dl FROM iv),
+    byday AS (SELECT s, day, sum(dl) AS dl FROM delta GROUP BY s, day),
+    run AS (SELECT s, day,
+                   CAST(sum(dl) OVER (PARTITION BY s ORDER BY day) AS BIGINT)
+                     AS n_open
+            FROM byday),
+    peak AS (SELECT s, max(n_open) AS peak_open FROM run GROUP BY s)
+    SELECT r.s AS s_suppkey, p.peak_open,
+           CAST(min(r.day) AS TIMESTAMP) AS peak_day
+    FROM run r JOIN peak p ON p.s = r.s AND r.n_open = p.peak_open
+    GROUP BY r.s, p.peak_open
+    """,
+    tags=["window", "sweep-line", "intervals"],
+)
+def peak_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: each lineitem is "open" from its
+    order date to its ship date; per supplier, the peak number of
+    simultaneously open lineitems and the earliest day the peak is hit.
+    The interval set never materializes as overlap PAIRS (the O(n²)
+    trap a range self-join would be): intervals become ±1 deltas,
+    collapse to one row per (supplier, day) in a map-side agg, and a
+    single ordered window per supplier integrates them — the same
+    pre-aggregate-then-window discipline as w6/monthly_growth. Skew: a
+    hot supplier's window is bounded by DISTINCT active days, not by its
+    lineitem count, precisely because of the pre-aggregation."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("s"),
+        F.to_date("o_orderdate").alias("st"),
+        F.date_add(F.to_date("l_shipdate"), 1).alias("en"),
+    )
+    delta = iv.select("s", F.col("st").alias("day"), F.lit(1).alias("dl")).unionByName(
+        iv.select("s", F.col("en").alias("day"), F.lit(-1).alias("dl"))
+    )
+    byday = delta.groupBy("s", "day").agg(F.sum("dl").alias("dl"))
+    w = Window.partitionBy("s").orderBy("day")
+    run = byday.withColumn("n_open", F.sum("dl").over(w)).select("s", "day", "n_open")
+    peak = run.groupBy("s").agg(F.max("n_open").alias("peak_open"))
+    return (
+        run.join(peak, "s")
+        .filter(F.col("n_open") == F.col("peak_open"))
+        .groupBy(F.col("s").alias("s_suppkey"), "peak_open")
+        # TIMESTAMP on both engines: a DATE column round-trips through
+        # pandas as datetime.date on Spark but datetime64 on DuckDB, and
+        # the value-hash compares their (different) string forms
+        .agg(F.min("day").cast("timestamp").alias("peak_day"))
     )
 
 
