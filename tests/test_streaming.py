@@ -206,3 +206,56 @@ def test_dedup_then_window_counts_each_event_once(spark, events_batch):
     }
     assert got == want
     assert got
+
+
+def test_full_outer_interval_join_emission_algebra(spark, events_batch):
+    """Full-outer = inner ∪ watermark-proven unmatched from BOTH sides.
+    The two null-extension conditions are asymmetric (view needs the
+    final watermark past view_ts + gap; purchase only past purchase_ts)
+    and user_id must survive null-extension from either side."""
+    views = ST.events_stream(spark, SF).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, SF).filter(F.col("event_type") == "purchase")
+    got = ST.run_to_memory(
+        ST.interval_join(
+            views, purchases, gap="1 day", watermark="2 days", how="full_outer"
+        ),
+        "t_interval_join_full_out",
+        output_mode="append",
+    ).collect()
+
+    v = events_batch.filter(F.col("event_type") == "view")
+    p = events_batch.filter(F.col("event_type") == "purchase")
+    import datetime
+
+    wm = min(
+        v.agg(F.max("ts")).collect()[0][0], p.agg(F.max("ts")).collect()[0][0]
+    ) - datetime.timedelta(days=2)
+    inner = v.alias("v").join(
+        p.alias("p"),
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 day")),
+    ).select(
+        F.col("v.event_id").alias("left_id"), F.col("p.event_id").alias("right_id")
+    )
+    matched_l = {r.left_id for r in inner.collect()}
+    matched_r = {r.right_id for r in inner.collect()}
+
+    got_inner = [r for r in got if r.left_id is not None and r.right_id is not None]
+    got_left_only = [r for r in got if r.right_id is None]
+    got_right_only = [r for r in got if r.left_id is None]
+    assert len(got_inner) == inner.count()
+
+    gap = datetime.timedelta(days=1)
+    want_left_only = {
+        r.event_id
+        for r in v.collect()
+        if r.event_id not in matched_l and r.ts + gap < wm
+    }
+    want_right_only = {
+        r.event_id for r in p.collect() if r.event_id not in matched_r and r.ts < wm
+    }
+    assert {r.left_id for r in got_left_only} == want_left_only
+    assert {r.right_id for r in got_right_only} == want_right_only
+    # the join key is present on every row, whichever side is null
+    assert all(r.user_id is not None for r in got)

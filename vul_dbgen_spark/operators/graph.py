@@ -251,7 +251,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ).collect()[0]["w"] or 0
 
     spark = edges.sparkSession
-    coeff = round(3.0 * n_tri / n_wedges, 6) if n_wedges else 0.0
+    # raw IEEE division, no rounding: any engine computes the identical
+    # double from the same two exact integers
+    coeff = 3.0 * n_tri / n_wedges if n_wedges else 0.0
     return spark.createDataFrame(
         [(int(n_tri), int(n_wedges), float(coeff))],
         "n_triangles bigint, n_wedges bigint, clustering_coeff double",

@@ -2443,6 +2443,60 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_full",
+    """
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                  - INTERVAL '2 days' AS w),
+    j AS (SELECT v.event_id AS left_id, p.event_id AS right_id, v.user_id,
+                 v.ts AS left_ts, p.ts AS right_ts
+          FROM v JOIN p
+            ON p.user_id = v.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 day')
+    SELECT left_id, right_id, user_id, left_ts, right_ts FROM j
+    UNION ALL
+    SELECT v.event_id, NULL, v.user_id, v.ts, NULL
+    FROM v, wm
+    WHERE v.event_id NOT IN (SELECT left_id FROM j)
+      AND v.ts + INTERVAL '1 day' < w
+    UNION ALL
+    SELECT NULL, p.event_id, p.user_id, NULL, p.ts
+    FROM p, wm
+    WHERE p.event_id NOT IN (SELECT right_id FROM j)
+      AND p.ts < w
+    """,
+    tags=["streaming", "stream-stream-join", "outer", "watermark"],
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — both sides'
+    unmatched rows, each emitted only when the watermark proves no match
+    can still arrive. The two null-extension conditions are asymmetric
+    because the join window is asymmetric (purchase within [view_ts,
+    view_ts + gap]): an unmatched VIEW needs the watermark past
+    view_ts + gap (a matching purchase could arrive until then), while an
+    unmatched PURCHASE only needs it past purchase_ts — any matching view
+    must have view_ts ≤ purchase_ts, and rows below the watermark can no
+    longer arrive. The oracle mirrors both conditions literally against
+    the final watermark of the drained bounded stream (min of both
+    sides' max event time, minus the 2-day delay); unmatched rows whose
+    window was still open at drain are withheld, as in production.
+
+    user_id survives null-extension from either side (interval_join
+    coalesces the two key copies), so the oracle can project it from
+    whichever input exists."""
+    views = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ST.events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ST.run_to_memory(
+        ST.interval_join(
+            views, purchases, gap="1 day", watermark="2 days", how="full_outer"
+        ),
+        "stream_interval_join_full_out",
+        output_mode="append",
+    )
+
+
+@register(
     "stream_user_stats",
     """
     SELECT user_id, count(*) AS n_events,

@@ -239,7 +239,16 @@ def interval_join(
         & (rv.right_ts >= lv.left_ts)
         & (rv.right_ts <= lv.left_ts + F.expr(f"INTERVAL {gap}")),
         how,
-    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+    ).select(
+        "left_id",
+        "right_id",
+        # the join key survives null-extension from either side: on a
+        # right-only row (full outer) the left's user_id is null and the
+        # right's copy carries it (they are equal whenever both exist)
+        F.coalesce(lv.user_id, rv.r_user).alias("user_id"),
+        "left_ts",
+        "right_ts",
+    )
 
 
 def join_then_window_counts(
