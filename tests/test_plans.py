@@ -148,6 +148,10 @@ CARTESIAN_ALLOWED = {
     # one corpus scan) through its exact-cosine branch; the fusion join
     # itself is a bounded 20∪20-row full outer
     "hybrid_search_rrf",
+    # 1-row triangle count × 1-row wedge count — the final scalar
+    # combine of two global aggregates; the wedge/closing joins
+    # themselves are equi-joins (pinned in test_triangle_plan_shape)
+    "graph_triangle_stats",
 }
 
 
@@ -231,3 +235,18 @@ def test_weighted_median_shares_flag_partitioning(spark):
     plan = _plan(C.weighted_median_price(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_triangle_plan_shape(spark):
+    # the wedge generation and closing steps must be equi-joins (the
+    # degree orientation exists precisely so no nested-loop appears on
+    # the data path); the only non-equi node is the final 1x1 scalar
+    # combine of the two global aggregates
+    from vul_dbgen_spark.queries.catalog import graph_triangle_stats
+
+    plan = _plan(graph_triangle_stats(spark, SF))
+    import re
+
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the 1-row x 1-row stats combine
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1

@@ -245,18 +245,24 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("x") < F.col("y"))
         .select(F.col("x").alias("u"), F.col("y").alias("v"))
     )
-    n_tri = wedge.join(canon, ["u", "v"], "left_semi").count()
-    n_wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("w")
-    ).collect()[0]["w"] or 0
-
-    spark = edges.sparkSession
-    # raw IEEE division, no rounding: any engine computes the identical
-    # double from the same two exact integers
-    coeff = 3.0 * n_tri / n_wedges if n_wedges else 0.0
-    return spark.createDataFrame(
-        [(int(n_tri), int(n_wedges), float(coeff))],
-        "n_triangles bigint, n_wedges bigint, clustering_coeff double",
+    # one declarative plan end-to-end (no driver-side collect): two
+    # 1-row aggregates joined by a 1×1 cross — the broadcast-scalar
+    # shape, not a data cartesian. clustering_coeff is the raw IEEE
+    # division of the two exact integers, identical on any engine.
+    tri = wedge.join(canon, ["u", "v"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    wed = deg.agg(
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"), F.lit(0)
+        ).alias("n_wedges")
+    )
+    return tri.join(wed).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"))
+        .alias("clustering_coeff"),
     )
 
 
