@@ -250,3 +250,18 @@ def test_triangle_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # exactly one BNLJ: the 1-row x 1-row stats combine
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_bloom_prefilter_sits_above_fact_scan(spark):
+    # the packed-bloom predicate must evaluate on the fact side BEFORE
+    # any exchange: the plan's lineitem branch carries a Filter with the
+    # shiftrightunsigned membership test under the first Exchange
+    from vul_dbgen_spark.queries.catalog import bloom_prefilter_join
+
+    plan = _plan(bloom_prefilter_join(spark, SF))
+    assert "shiftrightunsigned" in plan
+    # predicate is pre-shuffle: it appears in a Filter node, and the
+    # fact scan branch has no exchange below that filter
+    filt_pos = plan.index("shiftrightunsigned")
+    scan_pos = plan.index("Scan parquet", filt_pos)
+    assert "Exchange" not in plan[filt_pos:scan_pos]

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from vul_dbgen_spark.operators.sketches import (
     bloom_build,
+    bloom_member_expr,
+    bloom_pack,
     bloom_screen,
     cms_build,
     cms_estimate,
@@ -120,3 +122,45 @@ def test_cms_merge_additive(spark):
     whole = cms_build(a.union(b), "tok", depth=2, width=64)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_bloom_packed_expr_matches_join_screen(spark):
+    members = spark.createDataFrame([(i * 3,) for i in range(300)], "k: long")
+    bits = bloom_build(members, "k", m=1 << 14, k=4)
+    packed = bloom_pack(bits, m=1 << 14)
+    assert len(packed) == (1 << 14) // 64
+    probes = spark.createDataFrame([(i,) for i in range(1200)], "k: long")
+    via_expr = {
+        r["k"]
+        for r in probes.filter(
+            bloom_member_expr(F.col("k"), packed, m=1 << 14, k=4)
+        ).collect()
+    }
+    via_join = {
+        r["k"]
+        for r in bloom_screen(probes, "k", bits, m=1 << 14, k=4)
+        .filter(F.col("maybe_member"))
+        .collect()
+    }
+    assert via_expr == via_join
+    # no false negatives
+    assert {i * 3 for i in range(300) if i * 3 < 1200} <= via_expr
+
+
+def test_bloom_prefiltered_join_identical_to_plain_join(spark, sf_dir):
+    # the semi-join reduction: prefilter the fact side with the dim's
+    # bloom, then exact-join — provably identical results, smaller
+    # shuffle. This is the operator composition bloom_prefilter_join
+    # grades in the catalog.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") > 5000
+    )
+    bits = bloom_build(supp.select("s_suppkey"), "s_suppkey", m=1 << 14, k=4)
+    packed = bloom_pack(bits, m=1 << 14)
+    pre = li.filter(bloom_member_expr(F.col("l_suppkey"), packed, m=1 << 14, k=4))
+    plain = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).count()
+    reduced = pre.join(supp, pre["l_suppkey"] == supp["s_suppkey"]).count()
+    assert plain == reduced
+    # and the prefilter actually prunes (dim is a strict subset of keys)
+    assert pre.count() < li.count()

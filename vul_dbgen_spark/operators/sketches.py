@@ -101,6 +101,60 @@ def bloom_screen(
     )
 
 
+def bloom_pack(bits: DataFrame, m: int = 1 << 16) -> list[int]:
+    """Collapse a bit-position table into a packed little-endian word
+    array (m/64 signed 64-bit ints) — the form a Bloom filter actually
+    ships in. The pack is one tiny aggregation (≤ m/64 rows) collected
+    to the driver: bounded METADATA, not data — the same budget as a
+    broadcast dimension; the packed filter then rides into executors as
+    a literal, exactly like Spark's own runtime bloom pushdown."""
+    words = (
+        bits.select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            # call_function: the python shiftleft wrapper only takes a
+            # literal int shift; the SQL function itself takes a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("bit") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    packed = [0] * (m // 64)
+    for r in words:
+        packed[r["w"]] = r["word"]
+    return packed
+
+
+def bloom_member_expr(
+    key: F.Column, packed: list[int], m: int = 1 << 16, k: int = 4
+) -> F.Column:
+    """Pure column-expression membership test against a packed Bloom
+    filter: true iff all k bit positions of ``key`` are set. No join, no
+    UDF — shifts and ANDs inside whole-stage codegen, so it composes as
+    a pre-shuffle semi-join REDUCTION: filter the fact side with the
+    dimension's bloom before the shuffle join, shipping only rows that
+    can possibly match (plus the filter's false-positive sliver, which
+    the exact join then removes — results are provably identical). This
+    is the manual form of Spark's runtime row-group bloom pushdown, for
+    when the dimension is too big to broadcast but its bloom is not."""
+    words = F.lit(packed)
+    cond = None
+    for i in range(k):
+        h = _hash_mod(key, i, m)
+        bit = (
+            F.call_function(
+                "shiftrightunsigned",
+                F.element_at(words, (h / 64).cast("int") + 1),
+                (h % 64).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == F.lit(1)
+        )
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
 def cms_build(
     items: DataFrame, item_col: str, depth: int = 4, width: int = 512
 ) -> DataFrame:

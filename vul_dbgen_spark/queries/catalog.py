@@ -59,7 +59,14 @@ from ..operators.packing import pack_bin_summary, pack_offset_bins
 from ..operators.rangejoin import range_join_bucketed
 from ..operators.sampling import stratified_sample
 from ..operators.search import bm25_topk
-from ..operators.sketches import bloom_build, bloom_screen, cms_build, cms_estimate
+from ..operators.sketches import (
+    bloom_build,
+    bloom_member_expr,
+    bloom_pack,
+    bloom_screen,
+    cms_build,
+    cms_estimate,
+)
 from ..operators.skewjoin import salted_groupby_agg, salted_join
 from ..session import apply_testdata_confs, normalize_event_ts
 from .. import streaming as ST
@@ -6195,6 +6202,54 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = cms_build(items, "item", depth=4, width=512)
     est = cms_estimate(cms, top.select("item"), "item", depth=4, width=512)
     return top.join(est, "item").select("item", "exact_n", "cms_count")
+
+
+@register(
+    "bloom_prefilter_join",
+    f"""
+    SELECT s.s_suppkey,
+           round(sum({_REV_DEC_SQL}), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY s.s_suppkey
+    """,
+    bench=True,
+    tags=["sketch", "bloom", "semi-join-reduction"],
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction: revenue per high-balance supplier,
+    with the fact side prefiltered by the dimension's packed Bloom
+    filter BEFORE the join. The oracle is the plain join — the entry
+    grades the reduction's exactness guarantee (no false negatives ⇒
+    identical results; false positives die in the exact join).
+
+    The 100 TB shape this encodes: when the filtered dimension is too
+    large to broadcast but its ~10⁻⁴-sized bloom is not, shipping the
+    bloom as a literal predicate (pure codegen shifts/ANDs,
+    operators/sketches.py:bloom_member_expr) prunes the fact shuffle to
+    rows that can possibly match — the manual, cross-stage form of the
+    runtime bloom pushdown AQE applies within a query
+    (tests/test_adaptive.py). At this SF the dim would broadcast anyway;
+    the plan property that matters (prefilter ABOVE the fact scan,
+    before any exchange) is pinned in test_plans.py."""
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    bits = bloom_build(supp, "s_suppkey", m=1 << 16, k=4)
+    packed = bloom_pack(bits, m=1 << 16)
+    li = load(spark, sf_dir, "lineitem")
+    pre = li.filter(bloom_member_expr(F.col("l_suppkey"), packed, m=1 << 16, k=4))
+    return (
+        pre.join(supp, pre["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey")
+        .agg(
+            _round_money(F.sum(_dec_revenue())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
