@@ -262,3 +262,73 @@ def test_frozen_kmeans_ivf_recall(emb):
                  k=5, nprobe=3, centroids=KMEANS_CENTROIDS_SF001)
     )
     assert len(exact & trained) / len(exact) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# product quantization (ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_pq_codebooks_match_fresh_fit(emb):
+    """ann_pq_adc_topk runs on codebooks frozen in operators/
+    pq_codebooks.py (8 subspaces x 16 codes, trained once on sf0.01,
+    seed=42). A fresh fit must agree within fp noise — data or
+    pyspark.ml drift fails loudly and the artifact is regenerated."""
+    import numpy as np
+
+    from vul_dbgen_spark.operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from vul_dbgen_spark.operators.similarity import train_pq_codebooks
+
+    fresh = train_pq_codebooks(emb, "embedding", n_sub=8, n_codes=16, seed=42)
+    frozen = np.array(PQ_CODEBOOKS_SF001)
+    fit = np.array(fresh)
+    assert frozen.shape == fit.shape == (8, 16, 8)
+    np.testing.assert_allclose(fit, frozen, atol=1e-6)
+
+
+def test_pq_encode_partitioning_invariant(emb):
+    from vul_dbgen_spark.operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from vul_dbgen_spark.operators.similarity import pq_encode
+
+    cols = ["vec_id"] + [f"code_{s}" for s in range(8)]
+    one = sorted(
+        map(tuple, pq_encode(emb.repartition(1), "embedding",
+                             PQ_CODEBOOKS_SF001).select(*cols).collect())
+    )
+    many = sorted(
+        map(tuple, pq_encode(emb.repartition(16), "embedding",
+                             PQ_CODEBOOKS_SF001).select(*cols).collect())
+    )
+    assert one == many
+    # codes are in range and use a decent spread of the codebook
+    import collections
+
+    spread = collections.Counter(c for r in one for c in r[1:])
+    assert set(spread) <= set(range(16))
+    assert len(spread) >= 12
+
+
+def test_pq_adc_approximates_exact_distance_ranking(emb):
+    """ADC is lossy but must be *useful*: over the 500-vector corpus the
+    ADC top-10 for a query should overlap the exact-L2 top-10 well above
+    chance (10 random picks of 500 would overlap ~0.2 rows)."""
+    from vul_dbgen_spark.operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from vul_dbgen_spark.operators.similarity import pq_adc_topk
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    adc = {
+        r["neighbor_id"]
+        for r in pq_adc_topk(corpus, q, "vec_id", "vec_id", "embedding",
+                             "embedding", PQ_CODEBOOKS_SF001, k=10).collect()
+    }
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qv = vecs[0]
+    exact = sorted(
+        ((np.sum((v - qv) ** 2), vid) for vid, v in vecs.items() if vid != 0)
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+    assert len(adc & exact_ids) >= 3

@@ -631,3 +631,143 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("qcos", 4).alias("qcos"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI'11): split the vector into m subspaces, vector-
+# quantize each against a tiny per-subspace codebook, and search with
+# asymmetric distance computation (ADC) — exact query subvectors against
+# the corpus's quantized codes. The memory story at 100 TB: a 64-dim
+# float32 vector (256 B) compresses to m=8 one-byte codes, a 32× cut,
+# and the scan that serves top-k reads codes only.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks: [subspace][code][component].
+    Offline training, like train_ivf_centroids — the fitted literals are
+    frozen as a serving artifact (operators/pq_codebooks.py) because
+    pyspark.ml k-means is not bit-deterministic across partitionings.
+    Each subspace trains on an n_sub-times narrower projection; at scale
+    the m fits run over one cached sample of the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_dim = dim // n_sub
+    books: list[list[list[float]]] = []
+    base = corpus.select(F.col(vec_col).cast("array<double>").alias("__v")).cache()
+    try:
+        for s in range(n_sub):
+            sub = base.select(
+                array_to_vector(
+                    F.slice(F.col("__v"), s * sub_dim + 1, sub_dim)
+                ).alias("features")
+            )
+            model = KMeans(k=n_codes, seed=seed, maxIter=max_iter).fit(sub)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        base.unpersist()
+    return books
+
+
+def _pq_sub_dist(vec: Column, s: int, cent: list[float], sub_dim: int) -> Column:
+    """Squared L2 distance of subvector s to one centroid, expanded as a
+    left-associated sum so ANY engine mirroring the same textual formula
+    computes the identical IEEE double (the argmin ties on exact bits)."""
+    acc = None
+    for j, c in enumerate(cent):
+        x = F.element_at(vec, s * sub_dim + j + 1).cast("double")
+        d = x - F.lit(c)
+        t = d * d
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_prefix: str = "code_",
+) -> DataFrame:
+    """Quantize each vector to per-subspace code columns (int, 0-based
+    argmin over the codebook; first-match tie-break). Pure column
+    expressions — the 128 distance polynomials all sit inside one
+    whole-stage-codegen projection, no UDF, no shuffle."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    out = df
+    for s in range(n_sub):
+        dists = F.array(
+            *[_pq_sub_dist(vec, s, cent, sub_dim) for cent in codebooks[s]]
+        )
+        out = out.withColumn(
+            f"{out_prefix}{s}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    corpus_vec: str,
+    query_vec: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: approximate distance(q, x) = Σ_s ‖q_s − C_s[code_s(x)]‖²
+    — the query stays exact, the corpus contributes only its codes.
+
+    Plan shape: encode is a scan-local projection; the bounded query
+    side broadcasts (brute_force_topk's allowlisted shape); scoring
+    indexes the 2-level codebook LITERAL by the code column, so the
+    joined row carries (id, 8 ints) — never the original vector — and
+    the top-k collapses to TakeOrderedAndProject. At 100 TB the corpus
+    scan reads the code columns only (32× narrower than the vectors);
+    re-ranking survivors against true vectors is a second, k-bounded
+    join, same as the LSH/IVF paths."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    enc = pq_encode(corpus, corpus_vec, codebooks).select(
+        F.col(corpus_id), *[f"code_{s}" for s in range(n_sub)]
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    )
+    joined = enc.join(F.broadcast(q))
+    score = None
+    for s in range(n_sub):
+        cb = F.lit(codebooks[s])  # array<array<double>> literal
+        cent = F.element_at(cb, F.col(f"code_{s}") + 1)
+        for j in range(sub_dim):
+            x = F.element_at(F.col("__qv"), s * sub_dim + j + 1).cast("double")
+            d = x - F.element_at(cent, j + 1)
+            t = d * d
+            score = t if score is None else score + t
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col(corpus_id).alias("neighbor_id"),
+        score.alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rk").cast("int"))
+    )

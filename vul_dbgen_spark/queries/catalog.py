@@ -3922,6 +3922,91 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
 
 
+def _pq_oracle(k: int = 10) -> str:
+    """PQ-ADC mirrored term-for-term: the codebook literals live in a
+    1-row CTE; encoding is list_position(argmin) over the identical
+    left-associated distance polynomials the Spark side builds, so every
+    code and every ADC double is bit-equal across engines."""
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
+
+    n_sub, sub_dim = len(B), len(B[0][0])
+
+    def dist(s: int, cent: list[float], vec: str) -> str:
+        return " + ".join(
+            f"({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
+            f" * ({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
+            for j in range(sub_dim)
+        )
+
+    code_cols = ", ".join(
+        f"(list_position([{', '.join('(' + dist(s, c, 've') + ')' for c in B[s])}],"
+        f" list_min([{', '.join('(' + dist(s, c, 've') + ')' for c in B[s])}]))"
+        f" - 1) AS code_{s}"
+        for s in range(n_sub)
+    )
+    cb_cols = ", ".join(
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in B[s])
+        + f"] AS cb{s}"
+        for s in range(n_sub)
+    )
+    score = " + ".join(
+        f"(q.qv[{s * sub_dim + j + 1}] - cb.cb{s}[e.code_{s} + 1][{j + 1}])"
+        f" * (q.qv[{s * sub_dim + j + 1}] - cb.cb{s}[e.code_{s} + 1][{j + 1}])"
+        for s in range(n_sub)
+        for j in range(sub_dim)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+               FROM embeddings),
+    enc AS (SELECT vec_id, {code_cols} FROM v WHERE vec_id <> 0),
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id = 0),
+    cb AS (SELECT {cb_cols}),
+    scored AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                      {score} AS adc_dist
+               FROM enc e CROSS JOIN q CROSS JOIN cb)
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (ORDER BY adc_dist ASC, neighbor_id ASC) AS INT)
+             AS rk
+    FROM scored
+    ORDER BY adc_dist ASC, neighbor_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_oracle(10),
+    tags=["similarity", "ann", "product-quantization"],
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): corpus vectors
+    compress to 8 one-byte codes (32× smaller than float32-64d), queries
+    score by asymmetric distance — exact query subvectors against the
+    codes' centroids. Frozen codebooks (operators/pq_codebooks.py) make
+    the entry engine-exact: encoding argmins and ADC sums are the
+    identical IEEE expression on both engines, so the oracle matches
+    bit-for-bit — no error-bound escape hatch.
+
+    Scale story (operators/similarity.py:pq_adc_topk): encode is a
+    scan-local codegen projection; the serving scan reads the 8 code
+    columns only; scoring indexes the 2-level codebook literal — the
+    shuffle carries (id, 8 ints); top-k collapses per query. Re-rank
+    against true vectors is the standard k-bounded second join, as in
+    the LSH/IVF paths."""
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(
+        corpus, q, "vec_id", "vec_id", "embedding", "embedding",
+        PQ_CODEBOOKS_SF001, k=10,
+    )
+
+
 @register(
     "sample_sqrt_cap",
     """
