@@ -200,3 +200,14 @@ def test_khop_levels_early_exit_and_direction(spark):
     seeds = spark.createDataFrame([(5,)], "id: long")
     got = {r["node"]: r["min_hop"] for r in khop_levels(e, seeds, k=4).collect()}
     assert got == {5: 0, 6: 1}
+
+
+def test_triangle_stats_wedge_bloom_path_identical(spark):
+    # the >20M-edge scale path (packed xxhash bloom prefilter on the
+    # wedge table) must be a pure optimization: identical census
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    plain = triangle_stats(e, wedge_bloom=False).collect()[0]
+    bloomed = triangle_stats(e, wedge_bloom=True).collect()[0]
+    assert plain == bloomed
+    assert plain["n_triangles"] == 4

