@@ -211,3 +211,18 @@ def test_triangle_stats_wedge_bloom_path_identical(spark):
     bloomed = triangle_stats(e, wedge_bloom=True).collect()[0]
     assert plain == bloomed
     assert plain["n_triangles"] == 4
+
+
+def test_rcte_khop_equals_iterative_bfs(spark):
+    """Spark's native WITH RECURSIVE (catalog: graph_khop_reach_rcte)
+    and the hand-rolled frontier loop must produce identical min-hop
+    labelings on the same graph/seeds."""
+    from vul_dbgen_spark.queries.catalog import (
+        graph_khop_reach,
+        graph_khop_reach_rcte,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, graph_khop_reach(spark, sf).collect()))
+    b = sorted(map(tuple, graph_khop_reach_rcte(spark, sf).collect()))
+    assert a == b and len(a) > 0

@@ -155,6 +155,10 @@ CARTESIAN_ALLOWED = {
     # ann_cosine_topk's shape: broadcast 1-row query side × one encoded
     # corpus scan — linear in corpus; the scan carries (id, 8 codes)
     "ann_pq_adc_topk",
+    # tfidf shape twice over: 1-row corpus-size scalar into the weight
+    # projection, 1-row query-norm scalar into the final cosine — the
+    # candidate join itself is a broadcast term-pruned posting equi-join
+    "more_like_this_tfidf",
 }
 
 

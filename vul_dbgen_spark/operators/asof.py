@@ -22,29 +22,40 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     inclusive: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each LEFT row, attach the RIGHT row with the greatest
     ``right_ts <= left_ts`` (``<`` when ``inclusive=False``). Ties on
     right_ts break to the greatest ``payload_cols[0]`` (must be unique per
     right row) so the result is deterministic. Unmatched left rows keep
     nulls. Output: all left columns + payload_cols.
-    """
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"90 days"``) bounds
+    staleness: a match older than ``left_ts - tolerance`` is treated as
+    no match (pandas ``merge_asof(tolerance=...)`` semantics). The bound
+    is applied AFTER the window carry — the carried right_ts rides along
+    as one extra column and a row-local comparison nulls the stale
+    payloads — so the plan cost is identical to the unbounded join: one
+    shuffle + one partition-local sort, nothing re-windows."""
     tie = payload_cols[0]
     right_types = dict(right.dtypes)
+    carry_cols = payload_cols if tolerance is None else [*payload_cols, right_ts]
+
+    carry_cols = list(dict.fromkeys(carry_cols))  # dedup, keep order
 
     probe = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_probe"),
         *left.columns,
-        *[F.lit(None).cast(right_types[c]).alias(f"__p_{c}") for c in payload_cols],
+        *[F.lit(None).cast(right_types[c]).alias(f"__p_{c}") for c in carry_cols],
     )
     build = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_probe"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in carry_cols],
     )
 
     # Inclusive: build rows sort before probe rows at equal __t, so an
@@ -56,8 +67,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = probe.unionByName(build).withColumns(
-        {f"__c_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w) for c in payload_cols}
+        {f"__c_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w) for c in carry_cols}
     )
-    return out.filter("__is_probe = 1").select(
+    out = out.filter("__is_probe = 1")
+    if tolerance is not None:
+        fresh = F.col(f"__c_{right_ts}") >= F.col("__t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        return out.select(
+            *left.columns,
+            *[
+                F.when(fresh, F.col(f"__c_{c}")).alias(c)
+                for c in payload_cols
+            ],
+        )
+    return out.select(
         *left.columns, *[F.col(f"__c_{c}").alias(c) for c in payload_cols]
     )

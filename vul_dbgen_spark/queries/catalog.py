@@ -896,6 +896,52 @@ def asof_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_tolerance_order_before_event",
+    """
+    SELECT event_id, user_id, ts, o_orderkey AS matched_order,
+           round(o_totalprice, 2) AS matched_total
+    FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL '9000 days')
+    WHERE rn = 1
+    """,
+    tags=["asof-join", "tolerance", "custom-operator"],
+)
+def asof_tolerance_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (pandas merge_asof tolerance
+    semantics): the most recent order at or before the event, but only
+    if placed within the last 9000 days — older matches null out. The
+    bound is a ROW-LOCAL comparison on the carried right_ts after the
+    same one-shuffle window pass as the unbounded as-of; the oracle adds
+    the equivalent range conjunct to its theta-join. (The events table
+    sits ~23 years after the orders span, so the tolerance bites: wide
+    enough to keep real matches, tight enough that late-span events
+    with only ancient orders lose them.)"""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tolerance="9000 days",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("matched_order"),
+        F.round("o_totalprice", 2).alias("matched_total"),
+    )
+
+
+@register(
     "sessionize_events",
     """
     SELECT user_id, session_id, count(*) AS n_events,
@@ -6172,6 +6218,236 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("node"), F.col("min_hop").cast("int"))
 
 
+@register(
+    "dq_expectations",
+    """
+    WITH o AS (SELECT count(*) AS n,
+                      count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+                      count(*) FILTER (WHERE o_totalprice <= 0) AS bad_total,
+                      count(*) FILTER (WHERE o_orderpriority NOT IN
+                        ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+                        AS bad_priority,
+                      count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                         OR o_orderdate >= TIMESTAMP '2005-01-01') AS bad_date
+               FROM orders),
+    l AS (SELECT count(*) AS n,
+                 count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                   AS bad_qty,
+                 count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.2)
+                   AS bad_disc,
+                 count(*) FILTER (WHERE l_shipdate IS NULL) AS null_ship
+          FROM lineitem)
+    SELECT 'orders.o_orderkey unique' AS check_name, o.n AS n_rows,
+           CAST(o.dup_keys AS BIGINT) AS n_violations FROM o
+    UNION ALL SELECT 'orders.o_totalprice > 0', o.n, o.bad_total FROM o
+    UNION ALL SELECT 'orders.o_orderpriority in domain', o.n, o.bad_priority FROM o
+    UNION ALL SELECT 'orders.o_orderdate in [1990,2005)', o.n, o.bad_date FROM o
+    UNION ALL SELECT 'lineitem.l_quantity in [1,50]', l.n, l.bad_qty FROM l
+    UNION ALL SELECT 'lineitem.l_discount in [0,0.2]', l.n, l.bad_disc FROM l
+    UNION ALL SELECT 'lineitem.l_shipdate not null', l.n, l.null_ship FROM l
+    """,
+    tags=["data-quality", "expectations", "validation"],
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality gate (the validate-before-publish
+    step of a training-data pipeline): uniqueness, domain, range and
+    null-rate checks over orders and lineitem, one row per check. The
+    scale property is checks ≠ scans: ALL of a table's checks fold into
+    ONE conditional aggregate over one column-pruned pass (7 checks, 2
+    scans), and the per-check rows come from unpivoting the single
+    aggregate row — adding a check costs a column, not a pass. Pairs
+    with fk_integrity_audit (referential edges) and profile_lineitem
+    (distribution profiling) for the full pre-publish audit."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_total"),
+        F.count_if(~F.col("o_orderpriority").isin(prios)).alias("bad_priority"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp"))
+        ).alias("bad_date"),
+    )
+    lagg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "bad_qty"
+        ),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.2)).alias(
+            "bad_disc"
+        ),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_ship"),
+    )
+    ochecks = oagg.select(
+        F.expr(
+            "stack(4,"
+            " 'orders.o_orderkey unique', dup_keys,"
+            " 'orders.o_totalprice > 0', bad_total,"
+            " 'orders.o_orderpriority in domain', bad_priority,"
+            " 'orders.o_orderdate in [1990,2005)', bad_date)"
+        ).alias("check_name", "n_violations"),
+        F.col("n").alias("n_rows"),
+    )
+    lchecks = lagg.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem.l_quantity in [1,50]', bad_qty,"
+            " 'lineitem.l_discount in [0,0.2]', bad_disc,"
+            " 'lineitem.l_shipdate not null', null_ship)"
+        ).alias("check_name", "n_violations"),
+        F.col("n").alias("n_rows"),
+    )
+    return ochecks.unionByName(lchecks).select(
+        "check_name", "n_rows", "n_violations"
+    )
+
+
+@register(
+    "more_like_this_tfidf",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    x AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len,
+                 unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, doc_len, term, count(*) AS cnt
+           FROM x GROUP BY doc_id, doc_len, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM t),
+    w AS (SELECT tf.doc_id, tf.term,
+                 (tf.cnt * 1.0 / tf.doc_len)
+                   * ln(n.n_docs * 1.0 / df.df) AS wt
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    q AS (SELECT term, wt AS qwt FROM w WHERE doc_id = 42),
+    qn AS (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 42),
+    dot AS (SELECT w.doc_id, sum(w.wt * q.qwt) AS dot
+            FROM w JOIN q USING (term)
+            WHERE w.doc_id <> 42
+            GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           round(d.dot / (qn.qnrm * nrm.nrm), 6) AS score
+    FROM dot d JOIN nrm USING (doc_id) CROSS JOIN qn
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    tags=["search", "tfidf", "similarity", "inverted-index"],
+)
+def more_like_this_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse "more-like-this": top-10 documents by TF-IDF cosine to a
+    query document (doc_id 42) through the inverted index — the
+    lexical-similarity search that scales where dense re-embedding
+    can't: candidate generation touches ONLY postings of the query's
+    terms (a broadcast semi-prune, the bm25_topk shape), never the
+    whole corpus pairwise. Doc norms are the standard precomputed
+    side table (one combinable agg). Scores are ranked on round(·, 6):
+    cross-engine float drift is ulps, far inside the rounding, and
+    duplicate documents (equal scores by construction of the dedup
+    corpus) tie-break on doc_id."""
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", TX.tokens("text").alias("toks"))
+    x = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("doc_len"),
+        F.explode("toks").alias("term"),
+    )
+    tf = (
+        x.groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("cnt") * F.lit(1.0) / F.col("doc_len"))
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))
+            ).alias("wt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    q = w.filter(F.col("doc_id") == 42).select("term", F.col("wt").alias("qwt"))
+    qn = nrm.filter(F.col("doc_id") == 42).select(F.col("nrm").alias("qnrm"))
+    dot = (
+        w.filter(F.col("doc_id") != 42)
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+    )
+    return (
+        dot.join(nrm, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "graph_khop_reach_rcte",
+    f"""
+    WITH RECURSIVE walk(node, hop) AS (
+        SELECT p_partkey AS node, 0 AS hop FROM part WHERE p_size = 50
+        UNION ALL
+        SELECT DISTINCT e.d AS node, w.hop + 1 AS hop
+        FROM walk w JOIN ({_SEQ_EDGES_SQL}) e ON e.s = w.node
+        WHERE w.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INT) AS min_hop FROM walk GROUP BY node
+    """,
+    tags=["graph", "bfs", "recursive-cte", "spark4"],
+)
+def graph_khop_reach_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 3-hop reachability as graph_khop_reach, but computed by
+    Spark's OWN recursive CTE (WITH RECURSIVE, Spark 4) — the declarative
+    twin of the hand-rolled frontier loop, graded against DuckDB running
+    the near-identical SQL. The recursive member SELECTs DISTINCT — the
+    load-bearing word: each level's working set stays bounded by the node
+    count instead of multiplying paths (plain UNION ALL recursion blew
+    Spark's 1M recursion-row limit at sf0.1, ~358 seeds x deg^3 paths;
+    SQL-standard UNION recursion, the other fix, Spark rejects). Every
+    level has a constant hop, so the per-step DISTINCT is exactly a
+    frontier dedup, and min(hop) still collapses re-discoveries across
+    levels as the iterative operator's anti-join does (equivalence
+    pinned in test_graph.py). The edge list is localCheckpoint-ed before
+    registration: a lazy temp view would re-run the lineitem self-join
+    on every recursion level."""
+    edges = _seq_edges(spark, sf_dir).localCheckpoint()
+    edges.createOrReplaceTempView("__rcte_seq_edges")
+    seeds = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select("p_partkey")
+    )
+    seeds.createOrReplaceTempView("__rcte_seeds")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, hop) AS (
+            SELECT p_partkey AS node, 0 AS hop FROM __rcte_seeds
+            UNION ALL
+            SELECT DISTINCT e.d AS node, w.hop + 1 AS hop
+            FROM walk w JOIN __rcte_seq_edges e ON e.s = w.node
+            WHERE w.hop < 3
+        )
+        SELECT node, CAST(min(hop) AS INT) AS min_hop FROM walk GROUP BY node
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational probabilistic sketches (operators/sketches.py)
 # ---------------------------------------------------------------------------
@@ -6296,7 +6572,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum({_REV_DEC_SQL}), 2)::DOUBLE AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    WHERE s.s_acctbal > 9000
+    WHERE s.s_acctbal > 6000
     GROUP BY s.s_suppkey
     """,
     bench=True,
@@ -6318,9 +6594,12 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_adaptive.py). At this SF the dim would broadcast anyway;
     the plan property that matters (prefilter ABOVE the fact scan,
     before any exchange) is pinned in test_plans.py."""
+    # threshold 6000, not the "top decile" 9000: the sf0.001 parity
+    # tier has 10 suppliers with max acctbal < 7000, and a graded query
+    # must be non-empty at EVERY grading SF (the q9 vacuous-green rule)
     supp = (
         load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 9000)
+        .filter(F.col("s_acctbal") > 6000)
         .select("s_suppkey")
     )
     bits = bloom_build(supp, "s_suppkey", m=1 << 16, k=4)
@@ -6477,14 +6756,16 @@ GRADED_WINDOW: list[str] = [
     "q13_customer_order_distribution",
     "q21_multi_supplier_orders",
     "w5_rank_lag_ntile",
-    "w2_rollup_region",
+    # w2_rollup_region sits outside: ROLLUP is GROUPING SETS' special
+    # case and w3 already burns a slot on that family
     "w3_grouping_sets",
     "asof_order_before_event",
     "sessionize_events",
     "pivot_event_counts",
     "text_token_counts",
     "split_train_test",
-    "q17_small_quantity_revenue",
+    # q17 (scalar-subquery threshold) ceded its slot: q22/q11 grade the
+    # identical shape in the local full-parity artifact
     "chunk_documents",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -6499,8 +6780,10 @@ GRADED_WINDOW: list[str] = [
     "bm25_topk",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
+    # ann_ivf_topk (zero-training fallback) ceded its slot to the
+    # k-means twin, which subsumes it
     "ann_ivf_kmeans_topk",
+    "ann_pq_adc_topk",
     "dedup_simhash",
     "dedup_embedding_lsh",
     "range_join_ship_window",
@@ -6510,6 +6793,8 @@ GRADED_WINDOW: list[str] = [
     "merge_apply_orders",
     "sample_weighted_priority",
     "q9_product_profit_shape",
+    "graph_pagerank_parts",
+    "bloom_prefilter_join",
 ]
 
 
