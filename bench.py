@@ -133,8 +133,13 @@ def main() -> None:
         # (candidates grew 59x — 826→49,129 pairs — while runtime grew
         # 3.6x), the incremental delta-vs-corpus screen, and n-gram
         # decontamination (both output-linear).
+        # graph_triangle_stats is NOT in the sf1 list: the co-purchase
+        # graph densifies with corpus size (waves ~36M at sf0.1, ~10x
+        # wedges at sf1), so the full census is a minutes-scale batch
+        # job there -- the scale lever is the auto-gated wedge bloom
+        # (operators/graph.py), exercised by its own equivalence test.
         heavy = [
-            "dedup_clusters",
+            "dedup_clusters", "graph_pagerank_parts",
             "tfidf_top_terms", "bm25_topk",
             "dedup_minhash_lsh_pairs", "q5_region_revenue",
             "topk_parts_per_supplier", "centroid_assign_confusion",

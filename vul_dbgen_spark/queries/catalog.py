@@ -6334,6 +6334,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY score DESC, doc_id ASC
     LIMIT 10
     """,
+    bench=True,
     tags=["search", "tfidf", "similarity", "inverted-index"],
 )
 def more_like_this_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
