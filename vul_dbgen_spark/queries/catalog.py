@@ -6219,6 +6219,59 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "outliers_mad_events",
+    """
+    WITH med AS (SELECT event_type,
+                        percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n_events,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           count(*) FILTER (WHERE d.ad > 3 * m.mad) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=["data-quality", "robust-stats", "outliers"],
+)
+def outliers_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: |value − median| > 3·MAD
+    (median absolute deviation — the robust scale estimate a cleaning
+    pipeline prefers over stddev, which the outliers themselves inflate).
+    Two EXACT percentile aggregations (Spark `percentile` ≡ DuckDB
+    `percentile_cont`: both sort-exact with linear interpolation), each
+    one shuffle on the 5-value type key; medians join back broadcast.
+    The >3·MAD comparison is on doubles an engine pair computes
+    identically except for ulps — a classification flip needs a value
+    within ulps of the threshold, vanishing for continuous data."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count_if(F.col("ad") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )
+
+
+@register(
     "dq_expectations",
     """
     WITH o AS (SELECT count(*) AS n,
