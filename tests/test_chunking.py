@@ -40,3 +40,61 @@ def test_chunk_plan_has_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.operators.chunking import cdc_chunk_fps
+
+
+def test_cdc_boundaries_are_shift_invariant(spark):
+    """THE content-defined property: prepend text to a document and the
+    chunk fingerprints after the first (damaged) chunk are unchanged —
+    a fixed-stride chunker would shift every boundary and share zero
+    fingerprints."""
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    shifted = "INSERTED-HEADER:" + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id: long, text: string"
+    )
+    out = cdc_chunk_fps(df, "doc_id", "text")
+    fps = {
+        i: [r["chunk_fp"] for r in rows]
+        for i, rows in (
+            (i, sorted(
+                out.filter(F.col("doc_id") == i).collect(),
+                key=lambda r: r["chunk_idx"],
+            ))
+            for i in (1, 2)
+        )
+    }
+    # all but the first chunk of the original reappear verbatim in the
+    # shifted document's chunk stream
+    tail = fps[1][1:]
+    assert len(tail) >= 3
+    assert set(tail) <= set(fps[2])
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    text = "abcdefghij" * 40
+    df = spark.createDataFrame([(7, text)], "doc_id: long, text: string")
+    rows = sorted(
+        cdc_chunk_fps(df, "doc_id", "text").collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert sum(r["chunk_len"] for r in rows) == len(text)
+    assert all(r["chunk_len"] > 0 for r in rows)
+    # periodic text => periodic chunking => interior chunks all dedup
+    interior = [r["chunk_fp"] for r in rows[1:-1]]
+    assert len(set(interior)) <= 2
+
+
+def test_cdc_short_document_single_chunk(spark):
+    # shorter than the hash window: no boundary positions exist, the
+    # whole doc is one chunk
+    df = spark.createDataFrame([(3, "tiny text")], "doc_id: long, text: string")
+    rows = cdc_chunk_fps(df, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0]["chunk_len"] == 9

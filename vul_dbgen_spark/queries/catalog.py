@@ -6219,6 +6219,63 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cdc_chunks",
+    """
+    WITH b AS (SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n,
+                      list_filter(generate_series(16, length(text)),
+                        p -> ('0x' || substr(md5(substr(text, p - 15, 16)), 1, 4))::INT
+                               % 32 = 0) AS bnd
+               FROM documents),
+    e AS (SELECT doc_id, source, text,
+                 list_sort(list_distinct(list_concat(list_concat(
+                   [CAST(0 AS BIGINT)], bnd), [n]))) AS ext
+          FROM b),
+    ch AS (SELECT doc_id, source,
+                  unnest([md5(substr(text, CAST(ext[i] + 1 AS INT),
+                                     CAST(ext[i + 1] - ext[i] AS INT)))
+                          for i in generate_series(1, len(ext) - 1)]) AS chunk_fp
+           FROM e)
+    SELECT source,
+           count(*) AS n_chunks,
+           count(DISTINCT chunk_fp) AS n_distinct,
+           round((count(*) - count(DISTINCT chunk_fp)) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM ch GROUP BY source
+    """,
+    tags=["dedup", "cdc", "content-defined-chunking"],
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting over content-defined chunks
+    (operators/chunking.py:cdc_chunk_fps): per source, how much of the
+    corpus is repeated CONTENT — at chunk granularity, which catches
+    shared passages inside otherwise-distinct documents, and with CDC
+    boundaries, which survive insertions that would shift every
+    fixed-stride fingerprint (the shift-invariance test in
+    test_chunking.py is the property's proof). Chunking is row-local
+    (zero shuffle); the only exchange is the per-source aggregate."""
+    from ..operators.chunking import cdc_chunk_fps
+
+    docs = load(spark, sf_dir, "documents")
+    ch = cdc_chunk_fps(docs, "doc_id", "text", window=16, divisor=32)
+    j = ch.join(docs.select("doc_id", "source"), "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.col("chunk_fp")).alias("n_distinct"),
+    )
+    return agg.select(
+        "source",
+        "n_chunks",
+        "n_distinct",
+        F.round(
+            (F.col("n_chunks") - F.col("n_distinct"))
+            * F.lit(1.0)
+            / F.col("n_chunks"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
     "outliers_mad_events",
     """
     WITH med AS (SELECT event_type,
