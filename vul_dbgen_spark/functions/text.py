@@ -218,3 +218,45 @@ def lang_id(col: Column | str) -> Column:
     for lang, s in scores.items():
         expr = expr.when(s == best, F.lit(lang))
     return expr
+
+
+# ---------------------------------------------------------------------------
+# hashed linear scorer (fastText-style classifier inference)
+# ---------------------------------------------------------------------------
+
+HASHED_SCORER_DIM = 1024
+
+
+def hashed_scorer_weights(dim: int = HASHED_SCORER_DIM) -> list[float]:
+    """Deterministic pseudo-random weight vector for the hashed linear
+    scorer — md5-derived so any engine (or the oracle) regenerates the
+    identical floats. A real deployment replaces this with trained
+    weights; the INFERENCE path below is what the engine contributes."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:6], 16) / 16777216.0 - 0.5
+        for i in range(dim)
+    ]
+
+
+def hashed_linear_score(
+    toks: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Linear-classifier inference over the hashing trick: each token
+    indexes md5(token) mod dim into the weight vector; the document
+    logit is a row-local LEFT FOLD over the token list (engine-
+    mirrorable: DuckDB's list_reduce folds in the same order), squashed
+    by a sigmoid. No shuffle, no UDF — model inference as a column
+    expression, the cheapest possible quality-classifier pass over a
+    100 TB corpus. Weight lookup is element_at into a literal array
+    (dim ≈ 1k floats — plan-sized, not bloom-sized)."""
+    dim = len(weights)
+    w = F.lit(weights)
+
+    def step(acc: Column, t: Column) -> Column:
+        idx = F.conv(F.substring(F.md5(t), 1, 6), 16, 10).cast("int") % dim
+        return acc + F.element_at(w, idx + 1)
+
+    z = F.aggregate(toks, F.lit(float(bias)), step)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -6218,6 +6218,88 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("node"), F.col("min_hop").cast("int"))
 
 
+def _hashed_scorer_oracle() -> str:
+    from ..functions.text import HASHED_SCORER_DIM, hashed_scorer_weights
+
+    wv = ", ".join(repr(x) for x in hashed_scorer_weights())
+    return f"""
+    WITH w AS (SELECT [{wv}] AS wv),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           round(1.0 / (1.0 + exp(-(list_reduce(
+               list_concat([CAST(0.0 AS DOUBLE)],
+                 list_transform(toks, tk ->
+                   wv[('0x' || substr(md5(tk), 1, 6))::INT % {HASHED_SCORER_DIM} + 1])),
+               (a, b) -> a + b)))), 6) AS score
+    FROM t CROSS JOIN w
+    """
+
+
+@register(
+    "quality_linear_score",
+    _hashed_scorer_oracle(),
+    tags=["text", "quality", "classifier-inference", "hashing-trick"],
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE at corpus scale: a hashed
+    bag-of-words linear model (the fastText shape — hashing trick into a
+    1k-dim weight vector, logit = left fold of weight lookups, sigmoid)
+    evaluated as a pure column expression — no shuffle, no UDF, no model
+    server; scoring 100 TB costs one scan. Weights here are a frozen
+    md5-derived stand-in (functions/text.py:hashed_scorer_weights) so
+    the oracle regenerates them bit-identically; a trained model drops
+    in as a different literal. The fold is LEFT-associated on both
+    engines (F.aggregate ≡ list_reduce), so the logit matches to the
+    ulp and the 6-dp rounding grades exactly."""
+    from ..functions.text import hashed_linear_score, hashed_scorer_weights
+
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.round(hashed_linear_score(toks, hashed_scorer_weights()), 6).alias(
+            "score"
+        ),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n,
+           (count(*) >= 5) AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    tags=["privacy", "k-anonymity", "data-governance"],
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with its size and
+    a meets-k(=5) flag — the privacy gate run before releasing a
+    training extract containing indirect identifiers (a class of size
+    < k re-identifies its members by attribute intersection). One
+    map-side-combinable aggregate; the release decision downstream is a
+    broadcast semi-join of failing classes back onto the row stream,
+    exactly the bloom_prefilter_join shape. Emitting ALL classes (not
+    only violations) keeps the entry non-empty at every SF and gives
+    the auditor the margin distribution, not just the failures."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") >= 5).alias("meets_k"),
+        )
+    )
+
+
 @register(
     "dedup_cdc_chunks",
     """
