@@ -332,3 +332,31 @@ def test_pq_adc_approximates_exact_distance_ranking(emb):
     )[:10]
     exact_ids = {vid for _, vid in exact}
     assert len(adc & exact_ids) >= 3
+
+
+def test_ivfpq_subset_of_pq_and_useful(emb):
+    """IVF-PQ candidates are PQ-scored within nprobe cells: every hit
+    must carry the same ADC distance the flat PQ path assigns, and the
+    pruned index must still find a good share of the flat ADC top-10."""
+    from vul_dbgen_spark.operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+    from vul_dbgen_spark.operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from vul_dbgen_spark.operators.similarity import ivfpq_topk, pq_adc_topk
+
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    flat = pq_adc_topk(
+        corpus, q, "vec_id", "vec_id", "embedding", "embedding",
+        PQ_CODEBOOKS_SF001, k=50,
+    ).collect()
+    ivf = ivfpq_topk(
+        corpus, q, "vec_id", "vec_id", "embedding", "embedding",
+        KMEANS_CENTROIDS_SF001, PQ_CODEBOOKS_SF001, k=10, nprobe=3,
+    ).collect()
+    flat_d = {r["neighbor_id"]: r["adc_dist"] for r in flat}
+    # identical ADC for shared neighbors (same codes, same codebooks)
+    for r in ivf:
+        if r["neighbor_id"] in flat_d:
+            assert r["adc_dist"] == flat_d[r["neighbor_id"]]
+    # pruned to 3/8 cells yet overlaps the flat top-10 well above chance
+    flat10 = {r["neighbor_id"] for r in flat if r["rk"] <= 10}
+    assert len({r["neighbor_id"] for r in ivf} & flat10) >= 3

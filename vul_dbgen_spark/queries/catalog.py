@@ -3968,40 +3968,59 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
 
 
+def _pq_dist_sql(s: int, cent: list[float], vec: str) -> str:
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
+
+    sub_dim = len(B[0][0])
+    return " + ".join(
+        f"({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
+        f" * ({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
+        for j in range(sub_dim)
+    )
+
+
+def _pq_code_cols_sql(vec: str = "ve") -> str:
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
+
+    return ", ".join(
+        f"(list_position([{', '.join('(' + _pq_dist_sql(s, c, vec) + ')' for c in B[s])}],"
+        f" list_min([{', '.join('(' + _pq_dist_sql(s, c, vec) + ')' for c in B[s])}]))"
+        f" - 1) AS code_{s}"
+        for s in range(len(B))
+    )
+
+
+def _pq_cb_cols_sql() -> str:
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
+
+    return ", ".join(
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in B[s])
+        + f"] AS cb{s}"
+        for s in range(len(B))
+    )
+
+
+def _pq_score_sql(qref: str = "q.qv", encref: str = "e") -> str:
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
+
+    n_sub, sub_dim = len(B), len(B[0][0])
+    return " + ".join(
+        f"({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
+        f" * ({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
+        for s in range(n_sub)
+        for j in range(sub_dim)
+    )
+
+
 def _pq_oracle(k: int = 10) -> str:
     """PQ-ADC mirrored term-for-term: the codebook literals live in a
     1-row CTE; encoding is list_position(argmin) over the identical
     left-associated distance polynomials the Spark side builds, so every
     code and every ADC double is bit-equal across engines."""
-    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
-
-    n_sub, sub_dim = len(B), len(B[0][0])
-
-    def dist(s: int, cent: list[float], vec: str) -> str:
-        return " + ".join(
-            f"({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
-            f" * ({vec}[{s * sub_dim + j + 1}] - ({cent[j]!r}))"
-            for j in range(sub_dim)
-        )
-
-    code_cols = ", ".join(
-        f"(list_position([{', '.join('(' + dist(s, c, 've') + ')' for c in B[s])}],"
-        f" list_min([{', '.join('(' + dist(s, c, 've') + ')' for c in B[s])}]))"
-        f" - 1) AS code_{s}"
-        for s in range(n_sub)
-    )
-    cb_cols = ", ".join(
-        "["
-        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in B[s])
-        + f"] AS cb{s}"
-        for s in range(n_sub)
-    )
-    score = " + ".join(
-        f"(q.qv[{s * sub_dim + j + 1}] - cb.cb{s}[e.code_{s} + 1][{j + 1}])"
-        f" * (q.qv[{s * sub_dim + j + 1}] - cb.cb{s}[e.code_{s} + 1][{j + 1}])"
-        for s in range(n_sub)
-        for j in range(sub_dim)
-    )
+    code_cols = _pq_code_cols_sql("ve")
+    cb_cols = _pq_cb_cols_sql()
+    score = _pq_score_sql("q.qv", "e")
     return f"""
     WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -4050,6 +4069,66 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         corpus, q, "vec_id", "vec_id", "embedding", "embedding",
         PQ_CODEBOOKS_SF001, k=10,
+    )
+
+
+def _ivfpq_oracle(k: int = 10, nprobe: int = 3) -> str:
+    cent_rows = ", ".join(
+        f"({cid}, {_plane_lit(vec)})" for cid, vec in KMEANS_CENTROIDS_SF001
+    )
+    return f"""
+    WITH {_VE_CTE},
+    cent AS (SELECT ctr, cv FROM (VALUES {cent_rows}) AS t(ctr, cv)),
+    ranked AS (SELECT v.vec_id, v.ve, c.ctr,
+                      row_number() OVER (PARTITION BY v.vec_id
+                                         ORDER BY {_cos_sql('v.ve', 'c.cv')} DESC,
+                                                  c.ctr ASC) AS rk
+               FROM v CROSS JOIN cent c),
+    assign AS (SELECT vec_id, ve, ctr FROM ranked WHERE rk = 1),
+    enc AS (SELECT vec_id, ctr, {_pq_code_cols_sql('ve')}
+            FROM assign WHERE vec_id <> 0),
+    probes AS (SELECT vec_id AS qid, ve AS qv, ctr FROM ranked
+               WHERE vec_id = 0 AND rk <= {nprobe}),
+    cb AS (SELECT {_pq_cb_cols_sql()}),
+    scored AS (SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+                      {_pq_score_sql('p.qv', 'e')} AS adc_dist
+               FROM probes p JOIN enc e USING (ctr) CROSS JOIN cb)
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (ORDER BY adc_dist ASC, neighbor_id ASC) AS INT)
+             AS rk
+    FROM scored
+    ORDER BY adc_dist ASC, neighbor_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_oracle(10, 3),
+    tags=["similarity", "ann", "ivf", "product-quantization"],
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN index (FAISS's default),
+    composed from the two graded pieces: k-means IVF cells bound WHERE
+    to look (nprobe=3 of 8 cells), PQ codes bound WHAT is read per
+    candidate (8 bytes instead of a 256-byte vector), ADC scores
+    without reconstruction. Both stages run on frozen serving artifacts
+    (ivf_centroids.py + pq_codebooks.py), so the composition stays
+    bit-exact against the oracle — candidate membership AND scores.
+    Physical shape: one corpus scan → (id, cell, codes); broadcast
+    nprobe-exploded query; equi-join on cell; codegen ADC; top-k.
+    Nothing wider than 8 ints crosses the shuffle."""
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivfpq_topk(
+        corpus, q, "vec_id", "vec_id", "embedding", "embedding",
+        centroids=KMEANS_CENTROIDS_SF001,
+        codebooks=PQ_CODEBOOKS_SF001,
+        k=10, nprobe=3,
     )
 
 
