@@ -22,10 +22,13 @@ import __spark_entry__ as e
 assert e.entry(spark).count() > 0
 qs = e.queries()
 # one per fragile surface: ts normalization (events), streaming source,
-# Arrow mapInPandas worker imports, conv/md5 sampling, VARIANT
+# Arrow mapInPandas worker imports, conv/md5 sampling, VARIANT,
+# iterative localCheckpoint loops (pagerank), recursive CTE,
+# Arrow-shipped packed-filter literals (bloom prefilter)
 for name in ["cohort_retention", "stream_tumbling_counts",
              "mm_image_features", "sample_weighted_priority",
-             "variant_k_histogram"]:
+             "variant_k_histogram", "graph_pagerank_parts",
+             "graph_khop_reach_rcte", "bloom_prefilter_join"]:
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     assert n > 0, name
 print("VANILLA-CONTRACT-OK")

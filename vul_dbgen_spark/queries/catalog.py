@@ -6297,6 +6297,43 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("node"), F.col("min_hop").cast("int"))
 
 
+@register(
+    "lateral_topn_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+    ) t
+    """,
+    tags=["lateral", "correlated-subquery", "topn-per-group"],
+)
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer written
+    the way an analyst writes it, run through Spark's lateral-join
+    support (3.2+) with DuckDB executing the identical SQL. Catalyst
+    DECORRELATES this into the same windowed-rank plan
+    topk_parts_per_supplier hand-builds (DomainJoin → rank ≤ 2), so the
+    entry pins that the declarative spelling reaches the scalable plan —
+    there is no hidden per-customer re-execution. Customers with no
+    orders drop out (inner lateral), matching the oracle."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM __lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        """
+    )
+
+
 def _hashed_scorer_oracle() -> str:
     from ..functions.text import HASHED_SCORER_DIM, hashed_scorer_weights
 
