@@ -91,3 +91,40 @@ def test_cell_balanced_sample_partitioning_invariant(spark):
         assert (
             _rows(cell_balanced_sample(part, "vec_id", "embedding", cap=10)) == base
         )
+
+
+def test_cdc_chunks_partitioning_invariant(docs):
+    from vul_dbgen_spark.operators.chunking import cdc_chunk_fps
+
+    d = docs.select("doc_id", "text")
+    base = _rows(cdc_chunk_fps(_partitionings(d)[0], "doc_id", "text"))
+    assert len(base) > 0
+    for part in _partitionings(d)[1:]:
+        assert _rows(cdc_chunk_fps(part, "doc_id", "text")) == base
+
+
+def test_bloom_bits_partitioning_invariant(spark):
+    from vul_dbgen_spark.operators.sketches import bloom_build, bloom_pack
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey")
+    packs = []
+    for part in [cust.repartition(1), cust.repartition(64)]:
+        packs.append(bloom_pack(bloom_build(part, "c_custkey", m=1 << 14, k=4), m=1 << 14))
+    assert packs[0] == packs[1]
+
+
+def test_pagerank_partitioning_stable_at_grading_precision(spark):
+    # FP sums re-associate across partitionings; the CONTRACT is
+    # stability at the 6-dp precision every graded float is held to
+    from vul_dbgen_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i % 97, (i * 7) % 97) for i in range(500)], "src: long, dst: long"
+    )
+    outs = []
+    for part in [e.repartition(1), e.repartition(64)]:
+        outs.append({
+            r["node"]: round(r["rank"], 6)
+            for r in pagerank(part, iterations=5).collect()
+        })
+    assert outs[0] == outs[1]
