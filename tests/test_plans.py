@@ -159,6 +159,9 @@ CARTESIAN_ALLOWED = {
     # projection, 1-row query-norm scalar into the final cosine — the
     # candidate join itself is a broadcast term-pruned posting equi-join
     "more_like_this_tfidf",
+    # ann_recall_eval's shape: broadcast 10-query ground-truth pass ×
+    # one corpus scan, plus the PQ side's broadcast query × encoded scan
+    "ann_pq_recall_eval",
 }
 
 

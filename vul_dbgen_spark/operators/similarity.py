@@ -767,7 +767,9 @@ def pq_adc_topk(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
     )
-    joined = enc.join(F.broadcast(q))
+    joined = enc.join(F.broadcast(q)).filter(
+        F.col(corpus_id) != F.col("__qid")
+    )
     score = _adc_score(F.col("__qv"), codebooks)
     scored = joined.select(
         F.col("__qid").alias("query_id"),

@@ -4133,6 +4133,91 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_recall_eval",
+    f"""
+    WITH {_VE_CTE},
+    q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10),
+    ex AS (SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY list_distance(q.qv, c.ve) ASC,
+                                           c.vec_id ASC) AS rk
+        FROM q CROSS JOIN v c WHERE q.qid <> c.vec_id) WHERE rk <= 10),
+    enc AS (SELECT vec_id, {_pq_code_cols_sql('ve')} FROM v),
+    cb AS (SELECT {_pq_cb_cols_sql()}),
+    adc AS (SELECT qid, cid FROM (
+        SELECT q.qid, e.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {_pq_score_sql('q.qv', 'e')} ASC,
+                                           e.vec_id ASC) AS rk
+        FROM q CROSS JOIN enc e CROSS JOIN cb WHERE q.qid <> e.vec_id)
+        WHERE rk <= 10)
+    SELECT e.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.cid) AS BIGINT) AS n_hit,
+           round(count(a.cid) / count(*), 4) AS recall
+    FROM ex e LEFT JOIN adc a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid
+    """,
+    tags=["similarity", "ann", "product-quantization", "eval"],
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ-ADC against exact-L2 ground truth, per query —
+    the compression-loss eval that tells you whether 8 bytes/vector is
+    paying with your data (the twin of ann_recall_eval, which scores the
+    IVF pruning loss; together they decompose IVF-PQ's error into its
+    two sources). Ground truth is the allowlisted broadcast-10-query ×
+    one-corpus-scan shape; the ADC side reuses the graded codes, so the
+    eval itself is engine-exact down to rank tie-breaks."""
+    from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    qs = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    exact = (
+        F.broadcast(qs)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.sqrt(sqd).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "cid")
+    )
+    adc = pq_adc_topk(
+        emb, q, "vec_id", "vec_id", "embedding", "embedding",
+        PQ_CODEBOOKS_SF001, k=10,
+    ).select(F.col("query_id").alias("qid"), F.col("neighbor_id").alias("acid"))
+    return (
+        exact.join(
+            adc,
+            (exact["qid"] == adc["qid"]) & (exact["cid"] == adc["acid"]),
+            "left",
+        )
+        .drop(adc["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("acid").alias("n_hit"),
+            F.round(F.count("acid") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+    )
+
+
+@register(
     "sample_sqrt_cap",
     """
     WITH quota AS (SELECT source AS dom,
