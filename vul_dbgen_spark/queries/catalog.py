@@ -6383,6 +6383,58 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_merge",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           round(sum({_REV_DEC_SQL}), 2)::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=["incremental", "materialized-view", "partial-aggregate"],
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the corpus splits into
+    a BASE (90%) and an arriving DELTA (10%), each aggregated
+    independently, and the two partial-aggregate tables merge by
+    re-summing — the algebra that lets a 100 TB rollup absorb a daily
+    batch by touching ONLY the delta plus the (tiny) aggregate table,
+    never rescanning the base. The oracle is the full single-pass
+    aggregation: the entry GRADES that merge ≡ recompute, exactly —
+    decimal money sums make the equality bit-level, not approximate
+    (sum/count merge trivially; avg/stddev would carry (sum, count,
+    m2) moments the same way)."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_dec_revenue()).alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("rev_dec").alias("rev_dec"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .select(
+            *keys,
+            "sum_qty",
+            _round_money(F.col("rev_dec")).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@register(
     "lateral_topn_orders",
     """
     SELECT c.c_custkey, t.o_orderkey,
