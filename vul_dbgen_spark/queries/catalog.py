@@ -61,7 +61,6 @@ from ..operators.sampling import stratified_sample
 from ..operators.search import bm25_topk
 from ..operators.sketches import (
     bloom_build,
-    bloom_member_expr,
     bloom_pack,
     bloom_screen,
     cms_build,
