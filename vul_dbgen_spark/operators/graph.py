@@ -160,6 +160,18 @@ def connected_components(
         lbl = sym.select(F.col("u").alias("node")).distinct()
     lbl = lbl.select("node", F.col("node").alias("component")).localCheckpoint()
 
+    # convergence probe: labels are MONOTONE non-increasing (each round
+    # takes min(old, offers)), so Σ labels strictly decreases until the
+    # fixpoint and "sum unchanged ⟺ no label changed". One scan-only
+    # aggregate over the fresh checkpoint replaces the join+count probe
+    # (decimal accumulator: overflow-proof at any node-id scale, and
+    # exact — a double sum could alias two different label sets).
+    def _label_sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for i in range(max_iter):
         # neighbor messages: component[u] offered to v across each edge
         msgs = sym.join(lbl, sym["u"] == lbl["node"]).select(
@@ -171,19 +183,16 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage: plan size stays O(1) per round
         )
-        # convergence probe = one small join + count. Round 0 always
-        # changes labels on any graph with an edge, so skip the probe
-        # there — one fewer scheduled action per call.
+        # Round 0 always changes labels on any graph with an edge, so
+        # skip the probe there — one fewer scheduled action per call.
         if i > 0:
-            changed = (
-                new_lbl.alias("n")
-                .join(lbl.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            if changed == 0:
+            s = _label_sum(new_lbl)
+            if prev_sum is None:
+                prev_sum = _label_sum(lbl)
+            if s == prev_sum:
                 lbl = new_lbl
                 break
+            prev_sum = s
         lbl = new_lbl
     sym.unpersist()
     return lbl
