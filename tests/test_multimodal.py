@@ -96,3 +96,41 @@ def test_audio_features_duration_format(media):
     b = TEXTS[0][1].encode()
     assert rows[0].mean_byte == sum(b) // len(b)
     assert rows[2].mean_byte == 0
+
+
+# ---------------------------------------------------------------------------
+# real header parsing (no codec)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_header_corrupt_and_truncated_inputs():
+    from vul_dbgen_spark.operators.multimodal import _parse_header
+
+    assert _parse_header(b"")[0] == "unknown"
+    assert _parse_header(b"\x00" * 32)[0] == "unknown"
+    # right magic, truncated structure: format sniffed, fields None
+    assert _parse_header(b"\x89PNG\r\n\x1a\n") == ("png", None, None, None)
+    assert _parse_header(b"\xff\xd8\xff") == ("jpeg", None, None, None)
+    assert _parse_header(b"RIFF\x04\x00\x00\x00WAVE") == ("wav", None, None, None)
+
+
+def test_probe_recovers_ground_truth_distributed(spark):
+    from vul_dbgen_spark.operators.multimodal import (
+        probe_media_headers,
+        synth_containers,
+    )
+
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: (r["format"], r["width"], r["height"], r["sample_rate"])
+        for r in probe_media_headers(synth_containers(ids, "doc_id")).collect()
+    }
+    assert len(got) == 120
+    for i in range(120):
+        kind = i % 3
+        if kind == 0:
+            assert got[i] == ("png", 100 + i % 900, 100 + (i * 7) % 900, None)
+        elif kind == 1:
+            assert got[i] == ("jpeg", 64 + i % 512, 64 + (i * 3) % 512, None)
+        else:
+            assert got[i] == ("wav", None, None, 8000 + (i % 5) * 2000)

@@ -2227,6 +2227,42 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_header_probe",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'wav' END AS format,
+           CASE doc_id % 3 WHEN 0 THEN CAST(100 + doc_id % 900 AS INT)
+                WHEN 1 THEN CAST(64 + doc_id % 512 AS INT) END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(100 + (doc_id * 7) % 900 AS INT)
+                WHEN 1 THEN CAST(64 + (doc_id * 3) % 512 AS INT) END AS height,
+           CASE doc_id % 3 WHEN 2
+                THEN CAST(8000 + (doc_id % 5) * 2000 AS INT) END AS sample_rate
+    FROM documents
+    """,
+    tags=["multimodal", "header-parsing", "mapInPandas"],
+)
+def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal metadata extraction — no codec, no stub: sniff
+    each binary payload by magic bytes and walk the container's own
+    structures (PNG chunk walk → IHDR dims; JPEG marker scan past
+    variable-length COM segments → SOF dims; RIFF word-aligned chunk
+    walk → fmt sample rate). The corpus is spec-conformant synthesized
+    containers whose ground truth derives arithmetically from the id,
+    so the oracle states the EXPECTED metadata and the entry grades
+    that the byte-walking parser recovers it from the bytes — the
+    difference between this and the stubbed decode entries is the
+    point: header parsing is the metadata pass a 100 TB multimodal
+    ingest actually runs, and it needs no image library. Arrow-batched
+    mapInPandas; payloads die at the probe, only the narrow metadata
+    columns flow on."""
+    from ..operators.multimodal import probe_media_headers, synth_containers
+
+    media = synth_containers(load(spark, sf_dir, "documents"), "doc_id")
+    return probe_media_headers(media)
+
+
+@register(
     "mm_frame_sample",
     """
     WITH f AS (
