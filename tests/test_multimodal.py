@@ -134,3 +134,26 @@ def test_probe_recovers_ground_truth_distributed(spark):
             assert got[i] == ("jpeg", 64 + i % 512, 64 + (i * 3) % 512, None)
         else:
             assert got[i] == ("wav", None, None, 8000 + (i % 5) * 2000)
+
+
+def test_pcm_features_exact_on_known_waveform(spark):
+    from vul_dbgen_spark.operators.multimodal import (
+        pcm_audio_features,
+        synth_wav_pcm,
+    )
+    import numpy as np
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in pcm_audio_features(synth_wav_pcm(ids, "doc_id")).collect()
+    }
+    for i in range(30):
+        v = np.array([((i * 31 + j * 17) % 65536) - 32768 for j in range(256)])
+        signs = np.where(v >= 0, 1, -1)
+        r = got[i]
+        assert r["sample_rate"] == 8000 + (i % 5) * 2000
+        assert r["n_samples"] == 256
+        assert r["peak_amp"] == int(np.max(np.abs(v)))
+        assert r["zero_cross"] == int(np.count_nonzero(signs[1:] != signs[:-1]))
+        assert abs(r["rms"] - float(np.sqrt(np.sum(v * v) / 256))) == 0.0

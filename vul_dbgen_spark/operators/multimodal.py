@@ -363,3 +363,104 @@ def probe_media_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(probe, out_schema)
+
+
+def _synth_wav_pcm(media_id: int, n_samples: int = 256) -> bytes:
+    """Spec-conformant mono 16-bit PCM WAV whose samples follow a pure
+    INTEGER recurrence of the id — engine-exact ground truth (a sine
+    would pass through libm and could quantize differently elsewhere)."""
+    sr = 8000 + (media_id % 5) * 2000
+    samples = bytearray()
+    for j in range(n_samples):
+        v = ((media_id * 31 + j * 17) % 65536) - 32768
+        samples += int(v).to_bytes(2, "little", signed=True)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(samples).to_bytes(4, "little") + bytes(samples)
+    body = fmt + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def synth_wav_pcm(df: DataFrame, id_col: str, n_samples: int = 256) -> DataFrame:
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [_synth_wav_pcm(int(i), n_samples) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def pcm_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction — WAV needs no codec: walk the RIFF
+    chunks to the data chunk, decode int16-LE PCM with numpy, and
+    compute the standard cheap descriptors (RMS energy, zero-crossing
+    count, peak amplitude, duration). All features are exact functions
+    of the integer samples (one double sqrt at the end), so the oracle
+    recomputes them from the generating recurrence. Arrow-batched; the
+    waveform never leaves the probe."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("peak_amp", IntegerType()),
+            StructField("zero_cross", IntegerType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                p = bytes(p)
+                sr, pcm = None, None
+                if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    off = 12
+                    while off + 8 <= len(p):
+                        cid = p[off : off + 4]
+                        ln = int.from_bytes(p[off + 4 : off + 8], "little")
+                        if cid == b"fmt ":
+                            sr = int.from_bytes(p[off + 12 : off + 16], "little")
+                        elif cid == b"data":
+                            pcm = np.frombuffer(
+                                p[off + 8 : off + 8 + ln], dtype="<i2"
+                            ).astype(np.int64)
+                        off += 8 + ln + (ln % 2)
+                if pcm is None:
+                    out.append((int(mid), sr, 0, None, None, None))
+                    continue
+                # zero crossing: sign flips between consecutive samples
+                # (sign(0) counts as +): exact integers
+                signs = np.where(pcm >= 0, 1, -1)
+                zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+                rms = float(np.sqrt(np.sum(pcm * pcm) / len(pcm)))
+                out.append(
+                    (int(mid), sr, len(pcm), int(np.max(np.abs(pcm))), zc, rms)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "peak_amp", "zero_cross", "rms",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(feats, out_schema)

@@ -2263,6 +2263,43 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_pcm_features",
+    """
+    WITH s AS (SELECT doc_id, j,
+                      ((doc_id * 31 + j * 17) % 65536) - 32768 AS v
+               FROM documents, generate_series(0, 255) t(j)),
+    s2 AS (SELECT doc_id, j, v,
+                  lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+           FROM s)
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak_amp,
+           CAST(count(*) FILTER (WHERE pv IS NOT NULL
+                                   AND (v >= 0) <> (pv >= 0)) AS INT)
+             AS zero_cross,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / 256) AS rms
+    FROM s2 GROUP BY doc_id
+    """,
+    tags=["multimodal", "audio", "pcm", "mapInPandas"],
+)
+def mm_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction — WAV PCM needs no codec: the probe
+    walks the RIFF chunks, decodes int16-LE samples with numpy, and
+    computes RMS energy, zero-crossing count, and peak amplitude
+    (operators/multimodal.py:pcm_audio_features). The waveforms are
+    spec-conformant WAVs whose samples follow a pure integer recurrence
+    of the id, so every feature is an exact function the oracle
+    recomputes from the recurrence — including rms (the squared-sum is
+    < 2^53, so the one float division and sqrt are bit-identical).
+    Arrow-batched; the 512-byte waveform dies at the probe."""
+    from ..operators.multimodal import pcm_audio_features, synth_wav_pcm
+
+    media = synth_wav_pcm(load(spark, sf_dir, "documents"), "doc_id")
+    return pcm_audio_features(media)
+
+
+@register(
     "mm_frame_sample",
     """
     WITH f AS (
