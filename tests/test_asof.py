@@ -91,3 +91,37 @@ def test_asof_tolerance_multiple_payloads_null_together(spark):
     }
     assert rows[1] == (None, None)
     assert rows[2] == (12, 120)
+
+
+def test_asof_carry_is_row_atomic_with_null_payloads(spark):
+    # the matched row travels as ONE struct: a null payload field on the
+    # newest matching row must be returned as null, never backfilled
+    # from an older row (the chimera bug)
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "eid: long, k: long, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [(11, 100, _ts(1), 5), (12, 100, _ts(9), None)],
+        "rid: long, rk: long, rts: timestamp, extra: int",
+    )
+    row = asof_join(
+        left, right, "k", "rk", "ts", "rts", payload_cols=["rid", "extra"]
+    ).collect()[0]
+    assert row["rid"] == 12          # newest match
+    assert row["extra"] is None      # its null field, NOT 5 from rid=11
+
+
+def test_asof_tolerance_judges_the_matched_row(spark):
+    # freshness is judged on the SAME row the payload comes from
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "eid: long, k: long, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [(11, 100, _ts(1), 5), (12, 100, _ts(9), None)],
+        "rid: long, rk: long, rts: timestamp, extra: int",
+    )
+    row = asof_join(
+        left, right, "k", "rk", "ts", "rts",
+        payload_cols=["rid", "extra"], tolerance="3 days",
+    ).collect()[0]
+    assert row["rid"] == 12  # day-9 row is fresh; day-1 row never leaks in

@@ -226,3 +226,25 @@ def test_rcte_khop_equals_iterative_bfs(spark):
     a = sorted(map(tuple, graph_khop_reach(spark, sf).collect()))
     b = sorted(map(tuple, graph_khop_reach_rcte(spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_string_node_ids(spark):
+    # the label path must converge correctly for NON-numeric ids (the
+    # numeric label-sum probe cannot apply; the fallback join probe
+    # must): a 6-node string path needs ~5 propagation rounds
+    edges = [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(5)]
+    e = spark.createDataFrame(edges, "src: string, dst: string")
+    for algo in ("label", "star"):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(e, algorithm=algo).collect()
+        }
+        assert got == {f"doc{i:02d}": "doc00" for i in range(6)}, algo
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    e = spark.createDataFrame([], "src: long, dst: long")
+    assert pagerank(e).count() == 0
+    # self-loops only: filtered out, still empty, still no crash
+    e2 = spark.createDataFrame([(1, 1), (2, 2)], "src: long, dst: long")
+    assert pagerank(e2).count() == 0

@@ -164,3 +164,17 @@ def test_bloom_prefiltered_join_identical_to_plain_join(spark, sf_dir):
     assert plain == reduced
     # and the prefilter actually prunes (dim is a strict subset of keys)
     assert pre.count() < li.count()
+
+
+def test_bloom_screen_no_false_negatives_on_duplicate_probes(spark):
+    # membership must be decided per distinct KEY: duplicated probe rows
+    # previously multiplied the per-key bit count and rejected true
+    # members (a false negative — the one forbidden failure)
+    members = spark.createDataFrame([(i,) for i in range(100)], "k: long")
+    bits = bloom_build(members, "k", m=1 << 12, k=4)
+    dup_probes = spark.createDataFrame(
+        [(i % 50,) for i in range(400)], "k: long"  # each key 8 times
+    )
+    out = bloom_screen(dup_probes, "k", bits, m=1 << 12, k=4)
+    assert out.count() == 400  # row multiplicity preserved
+    assert out.filter(~F.col("maybe_member")).count() == 0

@@ -30,32 +30,35 @@ def asof_join(
     right row) so the result is deterministic. Unmatched left rows keep
     nulls. Output: all left columns + payload_cols.
 
-    ``tolerance`` (an INTERVAL string, e.g. ``"90 days"``) bounds
-    staleness: a match older than ``left_ts - tolerance`` is treated as
-    no match (pandas ``merge_asof(tolerance=...)`` semantics). The bound
-    is applied AFTER the window carry — the carried right_ts rides along
-    as one extra column and a row-local comparison nulls the stale
-    payloads — so the plan cost is identical to the unbounded join: one
-    shuffle + one partition-local sort, nothing re-windows."""
+    The carry is ROW-ATOMIC: the matched right row travels as ONE struct
+    through ``last(ignorenulls)`` — carrying each payload column
+    independently would let a null field backfill from an OLDER row and
+    return a chimera of two right rows (pandas ``merge_asof`` matches a
+    row, nulls included). The struct also carries right_ts, so the
+    ``tolerance`` bound (an INTERVAL string, e.g. ``"90 days"`` — a match
+    older than ``left_ts - tolerance`` is treated as no match) is one
+    row-local comparison after the same single window pass; plan cost is
+    identical to the unbounded join."""
     tie = payload_cols[0]
     right_types = dict(right.dtypes)
-    carry_cols = payload_cols if tolerance is None else [*payload_cols, right_ts]
-
-    carry_cols = list(dict.fromkeys(carry_cols))  # dedup, keep order
+    struct_cols = list(dict.fromkeys([*payload_cols, right_ts]))
+    struct_type = (
+        "struct<" + ",".join(f"`{c}`:{right_types[c]}" for c in struct_cols) + ">"
+    )
 
     probe = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_probe"),
         *left.columns,
-        *[F.lit(None).cast(right_types[c]).alias(f"__p_{c}") for c in carry_cols],
+        F.lit(None).cast(struct_type).alias("__p"),
     )
     build = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_probe"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"__p_{c}") for c in carry_cols],
+        F.struct(*[F.col(c) for c in struct_cols]).alias("__p"),
     )
 
     # Inclusive: build rows sort before probe rows at equal __t, so an
@@ -63,24 +66,30 @@ def asof_join(
     is_probe_order = F.col("__is_probe").asc() if inclusive else F.col("__is_probe").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), is_probe_order, F.col(f"__p_{tie}").asc_nulls_first())
+        .orderBy(
+            F.col("__t").asc(),
+            is_probe_order,
+            F.col("__p").getField(tie).asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = probe.unionByName(build).withColumns(
-        {f"__c_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w) for c in carry_cols}
+    out = (
+        probe.unionByName(build)
+        .withColumn("__c", F.last("__p", ignorenulls=True).over(w))
+        .filter("__is_probe = 1")
     )
-    out = out.filter("__is_probe = 1")
     if tolerance is not None:
-        fresh = F.col(f"__c_{right_ts}") >= F.col("__t") - F.expr(
+        fresh = F.col("__c").getField(right_ts) >= F.col("__t") - F.expr(
             f"INTERVAL {tolerance}"
         )
         return out.select(
             *left.columns,
             *[
-                F.when(fresh, F.col(f"__c_{c}")).alias(c)
+                F.when(fresh, F.col("__c").getField(c)).alias(c)
                 for c in payload_cols
             ],
         )
     return out.select(
-        *left.columns, *[F.col(f"__c_{c}").alias(c) for c in payload_cols]
+        *left.columns,
+        *[F.col("__c").getField(c).alias(c) for c in payload_cols],
     )

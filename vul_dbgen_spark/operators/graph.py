@@ -160,16 +160,31 @@ def connected_components(
         lbl = sym.select(F.col("u").alias("node")).distinct()
     lbl = lbl.select("node", F.col("node").alias("component")).localCheckpoint()
 
-    # convergence probe: labels are MONOTONE non-increasing (each round
-    # takes min(old, offers)), so Σ labels strictly decreases until the
-    # fixpoint and "sum unchanged ⟺ no label changed". One scan-only
-    # aggregate over the fresh checkpoint replaces the join+count probe
+    # convergence probe. For NUMERIC node ids: labels are MONOTONE
+    # non-increasing (each round takes min(old, offers)), so Σ labels
+    # strictly decreases until the fixpoint and "sum unchanged ⟺ no
+    # label changed" — one scan-only aggregate over the fresh checkpoint
     # (decimal accumulator: overflow-proof at any node-id scale, and
-    # exact — a double sum could alias two different label sets).
+    # exact — a double sum could alias two different label sets). For
+    # NON-numeric ids (string doc hashes) no such exact monotone scalar
+    # exists (a hash sum could alias distinct label sets), so the probe
+    # falls back to the join+count of changed labels.
+    numeric_ids = dict(lbl.dtypes)["component"] in {
+        "tinyint", "smallint", "int", "bigint",
+    } or dict(lbl.dtypes)["component"].startswith("decimal")
+
     def _label_sum(df: DataFrame) -> object:
         return df.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
 
     prev_sum = None
     for i in range(max_iter):
@@ -186,13 +201,17 @@ def connected_components(
         # Round 0 always changes labels on any graph with an edge, so
         # skip the probe there — one fewer scheduled action per call.
         if i > 0:
-            s = _label_sum(new_lbl)
-            if prev_sum is None:
-                prev_sum = _label_sum(lbl)
-            if s == prev_sum:
+            if numeric_ids:
+                s = _label_sum(new_lbl)
+                if prev_sum is None:
+                    prev_sum = _label_sum(lbl)
+                converged = s == prev_sum
+                prev_sum = s
+            else:
+                converged = _changed(new_lbl, lbl) == 0
+            if converged:
                 lbl = new_lbl
                 break
-            prev_sum = s
         lbl = new_lbl
     sym.unpersist()
     return lbl
@@ -245,6 +264,12 @@ def triangle_stats(
         xx_bloom_member_expr,
     )
 
+    # localCheckpoint, not persist: three subplans consume canon (degree
+    # build, wedge orientation, closing semi-join) so it must
+    # materialize once — and checkpoint blocks are released by the
+    # ContextCleaner when the DataFrame goes out of scope, where a
+    # persist would pin the edge set in the cache manager for the
+    # session lifetime with no handle for the caller to release
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -252,7 +277,7 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     sym = canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -315,10 +340,16 @@ def triangle_stats(
     tri = wedge.join(canon, ["u", "v"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    # integer arithmetic throughout: deg·(deg−1) is even so `div 2` is
+    # exact, and the decimal accumulator is exact past 2^53 — a double
+    # sum would silently round the census on a graph with ≳9e7-degree
+    # hubs or > 2^53 total wedges, exactly the scale this operator
+    # advertises
+    per_node = (F.col("deg").cast("bigint") * (F.col("deg") - 1)).cast(
+        "decimal(38,0)"
+    ) / 2
     wed = deg.agg(
-        F.coalesce(
-            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"), F.lit(0)
-        ).alias("n_wedges")
+        F.coalesce(F.sum(per_node).cast("bigint"), F.lit(0)).alias("n_wedges")
     )
     return tri.join(wed).select(
         "n_triangles",
@@ -391,6 +422,12 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
+    if n == 0:
+        # empty vertex set: nothing to rank (and 1/n would divide by
+        # zero) — return an empty, correctly-typed frame
+        nodes.unpersist()
+        ew.unpersist()
+        return base.select("node", F.lit(0.0).alias("rank")).limit(0)
 
     ranks = nodes.select(
         "node", "has_out", F.lit(1.0 / n).alias("rank")

@@ -81,10 +81,14 @@ def bloom_screen(
     broadcasts. The big probe side is never shuffled: broadcast join +
     one map-side count-distinct-free aggregation on the probe key."""
     key = F.col(probe_col)
-    pos = probes.select(
-        key.alias("_probe"),
+    # membership is decided per distinct KEY: exploding raw probe ROWS
+    # would multiply the per-key bit count by the key's multiplicity and
+    # the == k test would reject true members — a false NEGATIVE, the
+    # one failure a Bloom filter must never have
+    pos = probes.select(key.alias("_probe")).distinct().select(
+        "_probe",
         F.explode(
-            F.array(*[_hash_mod(key, i, m) for i in range(k)])
+            F.array(*[_hash_mod(F.col("_probe"), i, m) for i in range(k)])
         ).alias("bit"),
     )
     hits = (

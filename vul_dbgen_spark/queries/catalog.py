@@ -6331,7 +6331,7 @@ def _seq_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri AS (SELECT count(*) AS n FROM cooc e1
             JOIN cooc e2 ON e2.u = e1.v
             JOIN cooc e3 ON e3.u = e1.u AND e3.v = e2.v),
-    wed AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
+    wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg)
     SELECT (SELECT n FROM tri) AS n_triangles,
            (SELECT w FROM wed) AS n_wedges,
            CASE WHEN (SELECT w FROM wed) = 0 THEN 0.0
