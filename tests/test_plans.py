@@ -251,10 +251,12 @@ def test_triangle_plan_shape(spark):
     # the wedge generation and closing steps must be equi-joins (the
     # degree orientation exists precisely so no nested-loop appears on
     # the data path); the only non-equi node is the final 1x1 scalar
-    # combine of the two global aggregates
-    from vul_dbgen_spark.queries.catalog import graph_triangle_stats
+    # combine of the two global aggregates. materialize=False exposes
+    # the lazy plan (the graded entry returns the eager 1-row census)
+    from vul_dbgen_spark.operators.graph import triangle_stats
+    from vul_dbgen_spark.queries.catalog import _cooc_edges
 
-    plan = _plan(graph_triangle_stats(spark, SF))
+    plan = _plan(triangle_stats(_cooc_edges(spark, SF), "u", "v", materialize=False))
     import re
 
     assert "CartesianProduct" not in plan
