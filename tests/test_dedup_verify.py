@@ -133,3 +133,65 @@ def test_incremental_dedup_consistent_with_full_lsh(spark):
             cross.add(r.doc_a if r.doc_a % 2 == 1 else r.doc_b)
     assert flagged == cross
     assert flagged  # non-vacuous: the testdata contains cross-parity dups
+
+
+def test_band_cap_pairs_subset_of_uncapped(spark):
+    # capped pairs ⊆ uncapped pairs on the real testdata corpus: the cap
+    # may only DROP candidates, never invent one (the band-cap analog of
+    # the capped-shingle conservatism contract)
+    from vul_dbgen_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", max_band_df=5).collect()
+    }
+    assert capped <= uncapped
+    assert uncapped  # non-vacuous
+
+
+def test_band_cap_drops_only_hot_band_pairs(spark):
+    # every pair the cap drops must have ALL of its shared bands hot
+    # (df > cap): a pair with even one cold shared band must survive.
+    # Constructed corpus: a 12-doc boilerplate cluster (every band
+    # identical and hot at cap=5) plus one genuine near-dup pair whose
+    # bands are unique to the pair (cold).
+    from vul_dbgen_spark.operators.dedup import minhash_bands, minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [(i, "boilerplate header text repeated verbatim across documents") for i in range(12)]
+    rows += [(100, base), (101, base.replace("tonight", "today"))]
+    d = _docs(spark, rows)
+
+    cap = 5
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, "doc_id", "text", max_band_df=cap).collect()
+    }
+    assert capped <= uncapped
+
+    bands = minhash_bands(d, "doc_id", "text").collect()
+    by_doc: dict[int, set[str]] = {}
+    band_df: dict[str, set[int]] = {}
+    for r in bands:
+        by_doc.setdefault(r.doc, set()).add(r.band)
+        band_df.setdefault(r.band, set()).add(r.doc)
+    hot = {b for b, ds in band_df.items() if len(ds) > cap}
+
+    dropped = uncapped - capped
+    assert dropped  # the boilerplate cluster must actually trip the cap
+    for a, b in dropped:
+        shared = by_doc[a] & by_doc[b]
+        assert shared and shared <= hot, (a, b, shared - hot)
+    # and the cold near-dup pair survives the cap
+    assert (100, 101) in capped

@@ -328,12 +328,27 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs that agree on at least one LSH band.
 
     Bands of ``band_size`` signature slots are concatenated and used as
-    join buckets — the join fans out only within identical-band groups, so
-    the worst case is bounded by true near-duplicate clusters, not |docs|².
+    join buckets — the join fans out only within identical-band groups.
+    That bound is NOT |docs|², but it is also not "true near-duplicate
+    clusters": a hot band (boilerplate header, near-empty docs) of b
+    members still emits b²/2 candidate rows before ``distinct()``. At
+    100 TB one boilerplate bucket of 10⁶ docs is 5·10¹¹ join rows.
+
+    ``max_band_df`` is the scale guard: bands occurring in more than
+    that many docs are dropped before the self-join — the same
+    tiny-aggregate + broadcast-anti-join design as
+    ``ngram_jaccard_pairs``'s ``max_shingle_df`` (the band-count
+    aggregate has one row per distinct band, and only over-cap rows are
+    broadcast). Dropping a hot band only loses pairs whose EVERY shared
+    band is hot — with num_hashes//band_size independent bands, genuine
+    near-dups keep colliding on the non-degenerate bands, while the
+    boilerplate bucket's quadratic fan-out disappears. Off by default so
+    the uncapped path remains the exact-recall verifier at small SF.
     """
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     bands = [
@@ -342,6 +357,15 @@ def minhash_lsh_pairs(
         for b in range(0, num_hashes, band_size)
     ]
     banded = sig.select(F.col(id_col).alias("doc"), *bands)
+    if max_band_df is not None:
+        # capped path has three consumers of the band table (hot agg,
+        # anti-join probe, self-join build) — persist the compact one-row-
+        # per-doc form so the tokenize/shingle/minhash DAG runs once.
+        # (Uncapped path left unpersisted: its two consumers share one
+        # exchange and the plan is snapshot-pinned.)
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     stacked = banded.selectExpr(
         "doc",
         "stack({}, {}) as (band_idx, band)".format(
@@ -351,6 +375,13 @@ def minhash_lsh_pairs(
             ),
         ),
     )
+    if max_band_df is not None:
+        # hot-band cap: per-band doc counts are a tiny aggregate (one row
+        # per distinct band value); only the over-cap bands ship to the
+        # executors as a broadcast anti-join — no extra big shuffle. The
+        # band string embeds band_idx, so "band" alone keys the bucket.
+        hot = stacked.groupBy("band").count().filter(F.col("count") > max_band_df)
+        stacked = stacked.join(F.broadcast(hot.select("band")), "band", "left_anti")
     return (
         stacked.alias("a")
         .join(stacked.alias("b"), ["band_idx", "band"])

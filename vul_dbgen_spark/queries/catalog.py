@@ -1409,9 +1409,57 @@ def _minhash_lsh_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     tags=["dedup", "minhash", "lsh"],
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs (bands of 2 over 8 minhashes) — the 100 TB path
-    that avoids the all-pairs join."""
+    """LSH candidate pairs (bands of 2 over 8 minhashes) — avoids the
+    all-pairs join, but retains the hot-band quadratic fan-out; kept as
+    the exact-recall verifier for the capped twin below."""
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_lsh_capped_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{j}:' || g))) AS mh{j}"
+        for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        f"'{b}' || '|' || mh{b} || '|' || mh{b + 1}"
+        for b in range(0, num_hashes, band_size)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    grams AS (SELECT doc_id, {_GRAMS3_SQL} AS grams FROM toks),
+    sig AS (SELECT doc_id, {sig_cols} FROM grams),
+    bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+    hot AS (SELECT band FROM bands GROUP BY band
+            HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 250)),
+    bands2 AS (SELECT * FROM bands ANTI JOIN hot USING (band))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands2 a JOIN bands2 b USING (band)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs_capped",
+    _minhash_lsh_capped_oracle(8, 2),
+    bench=True,
+    tags=["dedup", "minhash", "lsh", "skew-capped"],
+)
+def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe LSH pair path: band buckets holding more than
+    max(5, 0.4% of corpus) docs are dropped before the self-join — the
+    same tiny-aggregate + broadcast-anti-join guard as
+    dedup_ngram_jaccard_capped's hot-shingle cap, because a boilerplate
+    band of b members otherwise emits b²/2 candidate rows (round-3's
+    measured 14.6× sf1 slope on the uncapped twin was exactly this
+    shape surfacing at toy scale). A dropped pair must have EVERY shared
+    band hot; with 4 independent bands, genuine near-dups keep colliding
+    on the non-degenerate ones. Cap mirrored integer-exactly in the
+    oracle; capped ⊆ uncapped containment is property-tested
+    (tests/test_dedup_verify.py)."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", max_band_df=_jaccard_cap(d.count())
+    )
 
 
 def _incremental_dedup_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
