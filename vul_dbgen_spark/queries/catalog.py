@@ -7311,11 +7311,19 @@ def peak_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs all of REGISTRY). This list curates that window deliberately: every
 # SURVEY §2 analog (q1/q3/q5, j1/j4, a1/a6/a9, f1-f3, k1, u1, w1 —
 # non-negotiable), then the highest-information representative of each
-# operator family. Near-duplicate entries (e.g. text_fingerprint ≈
-# dedup_exact's fingerprint, pct_order_value ≈ approx_pct_order_value,
-# dedup_minhash_signatures = the intermediate of dedup_minhash_lsh_pairs,
-# dedup_embedding_cosine = small-SF verifier of dedup_embedding_lsh) sit
-# outside the window rather than burn a graded slot.
+# operator family. Round-4 rotation (VERDICT r3 directive #2): 12 slots
+# moved from entries holding green CORRECTNESS_r03 driver rows to
+# never-driver-graded families — in: the new capped-LSH twin,
+# ann_ivfpq_topk, cms_token_counts, bloom_screen_orders,
+# graph_triangle_stats, mm_header_probe, dedup_cdc_chunks,
+# sample_stratified, and three stream_* entries (windowed agg,
+# stream-stream interval join, chained watermarked-dedup→window); out:
+# uncapped jaccard/LSH twins (capped twins keep the family graded;
+# uncapped stay as the local-parity exact-recall verifiers), brute/LSH
+# ANN baselines (ivf_kmeans + pq_adc + ivfpq now grade the family),
+# simhash, langid, approx-percentile, sessionize, pivot,
+# split_train_test, chunk_documents, w5 — every swapped-out entry keeps
+# its r03 green row and its local full-parity coverage.
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -7333,36 +7341,27 @@ GRADED_WINDOW: list[str] = [
     "w1_running_total",
     "q13_customer_order_distribution",
     "q21_multi_supplier_orders",
-    "w5_rank_lag_ntile",
     # w2_rollup_region sits outside: ROLLUP is GROUPING SETS' special
     # case and w3 already burns a slot on that family
     "w3_grouping_sets",
     "asof_order_before_event",
-    "sessionize_events",
-    "pivot_event_counts",
     "text_token_counts",
-    "split_train_test",
     # q17 (scalar-subquery threshold) ceded its slot: q22/q11 grade the
     # identical shape in the local full-parity artifact
-    "chunk_documents",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "decontaminate_eval",
     "dedup_substring_spans",
-    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_incremental",
     "text_quality",
-    "text_langid",
-    "approx_pct_order_value",
     "skew_salted_agg",
     "bm25_topk",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
     # ann_ivf_topk (zero-training fallback) ceded its slot to the
     # k-means twin, which subsumes it
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
-    "dedup_simhash",
+    "ann_ivfpq_topk",
     "dedup_embedding_lsh",
     "range_join_ship_window",
     "dedup_clusters",
@@ -7370,9 +7369,18 @@ GRADED_WINDOW: list[str] = [
     "topk_parts_per_supplier",
     "merge_apply_orders",
     "sample_weighted_priority",
+    "sample_stratified",
     "q9_product_profit_shape",
     "graph_pagerank_parts",
+    "graph_triangle_stats",
     "bloom_prefilter_join",
+    "bloom_screen_orders",
+    "cms_token_counts",
+    "mm_header_probe",
+    "dedup_cdc_chunks",
+    "stream_tumbling_counts",
+    "stream_interval_join",
+    "stream_dedup_then_window",
 ]
 
 
