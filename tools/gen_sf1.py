@@ -75,7 +75,9 @@ def replicate_offset(con, name: str, outdir: str) -> None:
     print(f"{name}: {out.num_rows} rows")
 
 
-def gen_documents(con, outdir: str, rng: np.random.Generator) -> None:
+def gen_documents(
+    con, outdir: str, rng: np.random.Generator, n: int = 50_000, n_dup: int = 80
+) -> None:
     # empirical unigram distribution + per-source token-count histogram
     toks = con.sql(
         f"""
@@ -97,7 +99,6 @@ def gen_documents(con, outdir: str, rng: np.random.Generator) -> None:
     )
     lang_p = lang_p / lang_p.sum()
 
-    n = 50_000
     n_sources = 20
     doc_len = rng.choice(lens, size=n)
     doc_lang = rng.choice(langs, size=n, p=lang_p)
@@ -106,7 +107,7 @@ def gen_documents(con, outdir: str, rng: np.random.Generator) -> None:
         texts.append(" ".join(rng.choice(vocab, size=int(doc_len[i]), p=freq)))
     # exact-duplicate injection at the observed sf0.1 rate (~16 per 10k):
     # duplicate doc i's text onto doc i+1 for ~80 sampled positions
-    for i in rng.choice(n - 1, size=80, replace=False):
+    for i in rng.choice(n - 1, size=n_dup, replace=False):
         texts[i + 1] = texts[i]
     out = pa.table(
         {

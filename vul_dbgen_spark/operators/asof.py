@@ -79,8 +79,22 @@ def asof_join(
         .filter("__is_probe = 1")
     )
     if tolerance is not None:
+        # tolerance reaches the plan via F.expr — validate it against the
+        # simple '<int> <unit>' grammar first so a malformed (or
+        # attacker-influenced) string fails here with a clear error
+        # instead of becoming an arbitrary SQL expression at plan time
+        import re
+
+        if not re.fullmatch(
+            r"\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week|month|year)s?",
+            tolerance.strip(),
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"asof tolerance must be '<int> <unit>', got {tolerance!r}"
+            )
         fresh = F.col("__c").getField(right_ts) >= F.col("__t") - F.expr(
-            f"INTERVAL {tolerance}"
+            f"INTERVAL {tolerance.strip()}"
         )
         return out.select(
             *left.columns,

@@ -272,7 +272,11 @@ def triangle_stats(
     # all of them (measured ~25% of the census at sf0.1). The persist is
     # released before return: with materialize=True (default) the 1-row
     # census is computed eagerly first, so no cached state outlives the
-    # call
+    # call. With materialize=False we skip the persist entirely — the
+    # lazy plan is for inspection/composition, and a cached frame with
+    # no handle returned would leak executor cache across calls (a
+    # caller who executes the lazy plan pays canon recompute per
+    # consumer, documented below).
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -280,8 +284,9 @@ def triangle_stats(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if materialize:
+        canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
     sym = canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
@@ -351,8 +356,20 @@ def triangle_stats(
     per_node = (F.col("deg").cast("bigint") * (F.col("deg") - 1)).cast(
         "decimal(38,0)"
     ) / 2
+    # the bigint cast is for output ergonomics only — in non-ANSI mode a
+    # decimal sum past 2^63 would cast to NULL, and a bare coalesce(_, 0)
+    # would then silently report n_wedges=0 on exactly the huge graphs
+    # this operator advertises. Raise instead: NULL-from-cast with a
+    # non-NULL sum is unambiguously overflow.
+    wedge_sum = F.sum(per_node)
     wed = deg.agg(
-        F.coalesce(F.sum(per_node).cast("bigint"), F.lit(0)).alias("n_wedges")
+        F.when(wedge_sum.isNull(), F.lit(0))
+        .when(
+            wedge_sum.cast("bigint").isNull(),
+            F.raise_error(F.lit("triangle_stats: wedge count overflows bigint")),
+        )
+        .otherwise(wedge_sum.cast("bigint"))
+        .alias("n_wedges")
     )
     result = tri.join(wed).select(
         "n_triangles",
@@ -368,7 +385,8 @@ def triangle_stats(
         canon.unpersist()
         return result
     # materialize=False: the LAZY plan for inspection (plan tests,
-    # composition); the caller owns canon's lifecycle via the session
+    # composition). canon is NOT persisted on this path (no handle to
+    # release); executing the returned plan recomputes it per consumer.
     return result
 
 
@@ -420,14 +438,25 @@ def pagerank(
     ew.count()
     has_out = ew.select(F.col("s").alias("node")).distinct()
 
+    endpoints = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
     if vertices is not None:
-        base = vertices.select(F.col(id_col).alias("node")).distinct()
-    else:
+        # union the edge endpoints in: if an edge references a node absent
+        # from `vertices`, contributions flowing to it would otherwise
+        # vanish in the left join (and a source absent from the base would
+        # neither contribute nor count as dangling), silently violating
+        # the documented Σ rank = 1 invariant. With a well-formed vertex
+        # superset the union is a no-op row-wise; the safety costs one
+        # distinct over endpoint keys (already computed for the
+        # vertices=None path's shape).
         base = (
-            e.select(F.col("s").alias("node"))
-            .union(e.select(F.col("d").alias("node")))
-            .distinct()
+            vertices.select(F.col(id_col).alias("node")).union(endpoints).distinct()
         )
+    else:
+        base = endpoints
     nodes = (
         base.join(has_out.withColumn("__h", F.lit(True)), "node", "left")
         .select("node", F.coalesce("__h", F.lit(False)).alias("has_out"))

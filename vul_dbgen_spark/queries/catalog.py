@@ -1824,6 +1824,19 @@ def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 
 
+def _l2sq_poly_sql(a: str, b: str, dim: int = 64) -> str:
+    """Squared L2 distance as an explicit left-associated polynomial —
+    textually mirrors Spark's ``F.aggregate(zip_with(...), 0.0, +)``
+    left fold term-for-term (SQL ``+`` parses left-associative and
+    ``0.0 + t1 == t1`` for the non-negative squares), so the two engines
+    produce the identical IEEE double bit pattern. DuckDB's
+    ``list_distance`` may sum in a different order (SIMD/pairwise) and
+    can rank-flip near-tied candidates by ULPs."""
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
@@ -4260,7 +4273,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT qid, cid FROM (
         SELECT q.qid, c.vec_id AS cid,
                row_number() OVER (PARTITION BY q.qid
-                                  ORDER BY list_distance(q.qv, c.ve) ASC,
+                                  ORDER BY {_l2sq_poly_sql('q.qv', 'c.ve')} ASC,
                                            c.vec_id ASC) AS rk
         FROM q CROSS JOIN v c WHERE q.qid <> c.vec_id) WHERE rk <= 10),
     enc AS (SELECT vec_id, {_pq_code_cols_sql('ve')} FROM v),
@@ -4307,12 +4320,16 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # rank on the SQUARED distance (sqrt is monotone): the fold's
+    # left-associated sum is mirrored textually by the oracle's
+    # _l2sq_poly_sql polynomial, so ranks agree bit-for-bit — ranking on
+    # sqrt(list_distance)-style values can ULP-flip near ties (ADVICE r3)
     w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
     exact = (
         F.broadcast(qs)
         .crossJoin(c)
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", F.sqrt(sqd).alias("d"))
+        .select("qid", "cid", sqd.alias("d"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("qid", "cid")
