@@ -98,6 +98,42 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # ---- end-to-end reference pipeline (fixture scale) ---------------------
+    # The composed S*→J*→A*→K* dataflow — every advisory source →
+    # namespacing → enrichment → upserts → tar/gzip/AES container — is
+    # golden-tested for VALUES (tests/test_sink.py) but a regression in
+    # the composition's COST was invisible to the per-operator rows
+    # above. One warm + one timed run (the job is ~30 s at fixture
+    # scale; per-query best-of-3 would triple the bench for a number
+    # whose round-over-round signal is coarse anyway).
+    fixture_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "vul-source"
+    )
+    if os.path.isdir(fixture_root) and os.environ.get("SPARK_GRAFT_SKIP_E2E") != "1":
+        import shutil
+        import tempfile
+
+        from vul_dbgen_spark.plans import pipeline as _pipeline
+        from vul_dbgen_spark.sinks import memdb as _memdb
+
+        e2e_best = float("inf")
+        for i in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            os_out, app_out = _pipeline.run(spark, fixture_root)
+            tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+            try:
+                shas = _memdb.update_db(os_out, app_out, tmp, version="0.0")
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            dt = time.perf_counter() - t0
+            if i > 0:
+                e2e_best = min(e2e_best, dt)
+        assert shas, "pipeline_e2e: empty container — bench is vacuous"
+        payload["pipeline_e2e_sec"] = round(e2e_best, 3)
+        print(f"# pipeline_e2e (sources→enrich→upsert→container): "
+              f"{e2e_best:.3f}s ({len(shas)} container files)", file=sys.stderr)
+
     # ---- sf1 scaling point -------------------------------------------------
     # Every sf0.1 number above is overhead-dominated (< ~2.5 s); the
     # 100 TB claims rest on the SLOPE, so when the locally generated 10x

@@ -72,10 +72,17 @@ def plan_signature(df) -> dict[str, int]:
     return sig
 
 
+# snapshot-pinned beyond the benched set: the composed reference
+# pipeline (its bench row is a dedicated once-timed block, not
+# spec.bench, but its physical composition — broadcasts between stages,
+# no stray shuffles — must not drift silently either)
+EXTRA_SNAPSHOT_NAMES = ["pipeline_e2e"]
+
+
 def _bench_names():
     from vul_dbgen_spark.queries.catalog import REGISTRY
 
-    return [n for n, s in REGISTRY.items() if s.bench]
+    return [n for n, s in REGISTRY.items() if s.bench] + EXTRA_SNAPSHOT_NAMES
 
 
 def _load_snapshots() -> dict:

@@ -7318,6 +7318,48 @@ def peak_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_e2e",
+    None,  # reads fixtures/vul-source (real advisory feeds), not the
+    # star schema — no DuckDB oracle; the composition's VALUES are
+    # golden-tested end-to-end in tests/test_sink.py (container
+    # round-trip, Go field order, reproducibility)
+    tags=["pipeline", "e2e", "composition"],
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed reference dataflow S*→J*→A* as ONE lazy plan: all
+    fixture sources → namespacing → NVD enrichment → severity gate →
+    keyed upserts, summarized to per-side/per-namespace record counts.
+    ``sf_dir`` is ignored (the pipeline reads the advisory fixtures, not
+    the synthetic star schema). The returned plan's lineage covers the
+    entire composition, so the plan-snapshot harness pins the composed
+    job's physical shape — a regression in how the pieces COMPOSE (a
+    lost broadcast, an extra shuffle between stages) is visible even
+    when every per-operator entry stays green. The container sink (K6)
+    is timed separately in bench.py's pipeline_e2e row (it is an
+    imperative write, not a plan)."""
+    import os as _os
+
+    from ..plans import pipeline as _pipeline
+
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+        "fixtures",
+        "vul-source",
+    )
+    os_out, app_out = _pipeline.run(spark, root)
+    return (
+        os_out.select(F.lit("os").alias("side"), "namespace")
+        .unionByName(
+            app_out.select(
+                F.lit("app").alias("side"), F.lit("apps").alias("namespace")
+            )
+        )
+        .groupBy("side", "namespace")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
