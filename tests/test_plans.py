@@ -210,8 +210,16 @@ def test_no_unexpected_cartesians_anywhere(spark):
 
 def test_catalog_contract_complete():
     # every graded entry carries an oracle (the driver counts a missing
-    # oracle as a failure) and at least one tag for COVERAGE mapping
-    missing_oracle = [n for n, s in C.REGISTRY.items() if s.oracle is None]
+    # oracle as a failure) and at least one tag for COVERAGE mapping.
+    # pipeline_e2e is the one sanctioned exception: it reads the advisory
+    # fixtures (XML/HTML/YAML parsing — not SQL-expressible), sits outside
+    # the driver's 50-entry window, and its values are golden-tested in
+    # test_sink.py; the brief's rows-only fallback applies.
+    ORACLE_EXEMPT = {"pipeline_e2e"}
+    missing_oracle = [
+        n for n, s in C.REGISTRY.items()
+        if s.oracle is None and n not in ORACLE_EXEMPT
+    ]
     missing_tags = [n for n, s in C.REGISTRY.items() if not s.tags]
     assert not missing_oracle, missing_oracle
     assert not missing_tags, missing_tags

@@ -25,10 +25,15 @@ qs = e.queries()
 # Arrow mapInPandas worker imports, conv/md5 sampling, VARIANT,
 # iterative localCheckpoint loops (pagerank), recursive CTE,
 # Arrow-shipped packed-filter literals (bloom prefilter)
+# round 4 additions: the two newly-driver-windowed chained/stream-stream
+# stateful entries and the SQL-text-built PQ expressions (F.expr parse
+# must succeed without any tuned conf)
 for name in ["cohort_retention", "stream_tumbling_counts",
              "mm_image_features", "sample_weighted_priority",
              "variant_k_histogram", "graph_pagerank_parts",
-             "graph_khop_reach_rcte", "bloom_prefilter_join"]:
+             "graph_khop_reach_rcte", "bloom_prefilter_join",
+             "stream_dedup_then_window", "stream_interval_join",
+             "ann_pq_adc_topk"]:
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     assert n > 0, name
 print("VANILLA-CONTRACT-OK")
