@@ -40,8 +40,10 @@ def main() -> None:
         "`tests/plan_snapshots.json`.",
         "",
     ]
+    from test_plan_snapshots import EXTRA_SNAPSHOT_NAMES
+
     for name, spec in REGISTRY.items():
-        if not spec.bench:
+        if not spec.bench and name not in EXTRA_SNAPSHOT_NAMES:
             continue
         spark.catalog.clearCache()
         df = spec.fn(spark, SF_DIR)
