@@ -167,6 +167,22 @@ def test_pagerank_star_closed_form(spark):
     assert abs(got[2] - ro) < 1e-12
 
 
+def test_pagerank_nonsuperset_vertices_keeps_mass(spark):
+    # edges reference nodes 1..4 but the caller's vertex frame only
+    # lists 1..2: the endpoint union (ADVICE r3) must pull 3 and 4 into
+    # the node base so no contribution mass vanishes — Σ rank = 1 holds
+    # for ANY vertices input unless vertices_are_superset waives it
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src: long, dst: long"
+    )
+    v = spark.createDataFrame([(1,), (2,)], "id: long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, vertices=v, iterations=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # a 4-cycle is rank-uniform regardless of the vertex frame handed in
+    assert all(abs(x - 0.25) < 1e-12 for x in got.values())
+
+
 def test_pagerank_cycle_uniform(spark):
     # a directed cycle is rank-uniform at every iteration
     e = spark.createDataFrame(

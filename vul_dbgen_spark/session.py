@@ -76,7 +76,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 64g (was 48g): the sf1 triangle census streams ~1.5B wedge rows
+        # through a broadcast semi-join and at 48g the allocation churn
+        # hits GCLocker stalls ("Retried waiting for GCLocker too often"),
+        # adding 2-4x run-to-run variance; the box has 125g and local mode
+        # is driver=executor, so headroom here is executor headroom
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # events.parquet uses TIMESTAMP(NANOS) which Spark's vectorized
