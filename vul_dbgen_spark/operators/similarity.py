@@ -249,6 +249,25 @@ def lsh_bucket_topk(
 # drops to milliseconds.
 
 
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _cached_expr(text: str) -> Column:
+    """Memoized F.expr for the frozen-constant expression texts.
+
+    The PQ/IVF texts are a few hundred KB; parsing is the remaining
+    ~1.5 s of per-call driver latency after the py4j rewrite, and the
+    texts are pure functions of frozen codebook/centroid literals — the
+    same string every call. Unresolved Columns are plan-independent, so
+    reusing one across DataFrames is exactly as safe as reusing an
+    F.col."""
+    col = _EXPR_CACHE.get(text)
+    if col is None:
+        col = F.expr(text)
+        _EXPR_CACHE[text] = col
+    return col
+
+
 def _dlit(x: float) -> str:
     # D-suffixed double literal: parsed with Double.parseDouble — the
     # same bits as repr()'s shortest round-trip form, a third the text
@@ -299,7 +318,7 @@ def _argmin_centroid(
     is accepted for API compat and round-trips through its name).
     """
     vec_sql = _vec_sql(vec)
-    return F.expr(
+    return _cached_expr(
         f"array_min(array({_centroid_entries_sql(vec_sql, centroids)})).cid"
     )
 
@@ -309,7 +328,7 @@ def _top_centroids(
 ) -> Column:
     """ids of the ``nprobe`` most-similar centroids (array column)."""
     vec_sql = _vec_sql(vec)
-    return F.expr(
+    return _cached_expr(
         f"transform(slice(array_sort(array("
         f"{_centroid_entries_sql(vec_sql, centroids)})), 1, {int(nprobe)}), "
         f"s -> s.cid)"
@@ -789,7 +808,7 @@ def pq_encode(
             for i, cent in enumerate(codebooks[s])
         )
         codes.append(
-            F.expr(f"array_min(array({entries})).i").alias(f"{out_prefix}{s}")
+            _cached_expr(f"array_min(array({entries})).i").alias(f"{out_prefix}{s}")
         )
     return df.select("*", *codes)
 
@@ -812,7 +831,7 @@ def _adc_score(qv: Column | str, codebooks: list[list[list[float]]]) -> Column:
             x = f"CAST(element_at({qv_sql}, {s * sub_dim + j + 1}) AS DOUBLE)"
             d = f"({x} - element_at({cent}, {j + 1}))"
             terms.append(f"({d} * {d})")
-    return F.expr(" + ".join(terms))
+    return _cached_expr(" + ".join(terms))
 
 
 def pq_adc_topk(
