@@ -195,3 +195,68 @@ def test_band_cap_drops_only_hot_band_pairs(spark):
         assert shared and shared <= hot, (a, b, shared - hot)
     # and the cold near-dup pair survives the cap
     assert (100, 101) in capped
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def test_hamming_neighbor_pairs_exact_recall_d1(spark):
+    from vul_dbgen_spark.operators.dedup import hamming_neighbor_pairs
+
+    names = [
+        "Customer#000000001",
+        "Customer#000000002",
+        "Customer#000000011",  # dist 1 from ...001 (one digit)
+        "Customer#000000101",
+        "Customer#999999999",
+        "Customer#00000001",  # shorter — never pairs with the 18-char ones
+        "Supplier#000000001",  # shares length but differs in many positions
+        "Customer#000000001",  # exact duplicate of id 1 (distance 0)
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["id", "name"]
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_neighbor_pairs(df, "id", "name", d=1).collect()
+    }
+    brute = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if len(names[i]) == len(names[j]) and _hamming(names[i], names[j]) <= 1
+    }
+    assert got == brute
+    assert (0, 7) in got  # identical pair (distance 0) found
+    assert not any(5 in p for p in got)  # unequal length excluded
+
+
+def test_hamming_neighbor_pairs_exact_recall_d2(spark):
+    """Pigeonhole with 3 interleaved classes: exact for any ≤2-substitution
+    pair, including mismatches landing in two different classes."""
+    from vul_dbgen_spark.operators.dedup import hamming_neighbor_pairs
+
+    base = "abcdefghij"
+    variants = [base]
+    # all single substitutions at positions 0, 4, 9; doubles at (0,1), (2,5), (8,9)
+    for pos in [(0,), (4,), (9,), (0, 1), (2, 5), (8, 9), (0, 4, 8)]:
+        s = list(base)
+        for p in pos:
+            s[p] = "Z"
+        variants.append("".join(s))
+    df = spark.createDataFrame(list(enumerate(variants)), ["id", "s"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_neighbor_pairs(df, "id", "s", d=2).collect()
+    }
+    brute = {
+        (i, j)
+        for i in range(len(variants))
+        for j in range(i + 1, len(variants))
+        if _hamming(variants[i], variants[j]) <= 2
+    }
+    assert got == brute
+    # the triple-substitution variant pairs with singles at shared positions
+    # only where true distance ≤ 2 — brute is the spec; containment both ways
+    assert (0, 7) not in got  # distance 3 from base: correctly excluded

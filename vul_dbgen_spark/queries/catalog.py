@@ -7368,6 +7368,95 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_pairs_hamming",
+    """
+    WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+    k AS (SELECT id, nm, len(nm) AS ln, kk.cls AS cls, kk.key AS key FROM (
+            SELECT id, nm,
+                   unnest([{'cls': r, 'key': array_to_string(
+                       [substr(nm, i, 1) for i in generate_series(1, len(nm))
+                        if (i - 1) % 2 = r], '')}
+                     for r in [0, 1]]) AS kk
+            FROM s)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM k a JOIN k b
+               ON a.cls = b.cls AND a.key = b.key AND a.ln = b.ln
+              AND a.id < b.id
+             WHERE hamming(a.nm, b.nm) <= 1),
+    ends AS (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand),
+    per AS (SELECT id, CAST(count(*) AS BIGINT) AS nbrs FROM ends GROUP BY id)
+    SELECT nbrs AS n_neighbors, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per GROUP BY nbrs ORDER BY nbrs
+    """,
+    bench=True,
+    tags=["dedup", "fuzzy-join", "edit-distance", "passjoin"],
+)
+def fuzzy_pairs_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on customer names: every pair of equal-length
+    names within Hamming distance 1 (for equal-length strings edit
+    distance ≤ 1 ⟺ one substitution, so this IS the edit-distance-1
+    entity-match), found by operators/dedup.py:hamming_neighbor_pairs —
+    pigeonhole segment blocking (PassJoin, VLDB'12) with INTERLEAVED
+    position classes so the shared "Customer#…" prefix never becomes a
+    hot bucket. Exact recall by construction (a 1-substitution pair
+    leaves one class untouched and meets in its equi-join bucket); the
+    oracle re-derives the same blocking + DuckDB ``hamming`` verbatim,
+    and the naive all-pairs alternative the blocking avoids is Θ(N²) —
+    the non-starter at 100 TB. Graded as the neighbor-count histogram
+    (small, totally ordered) rather than the raw pair list."""
+    from ..operators.dedup import hamming_neighbor_pairs
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = hamming_neighbor_pairs(c, "c_custkey", "c_name", d=1)
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    per = ends.groupBy("id").agg(F.count(F.lit(1)).alias("nbrs"))
+    return (
+        per.groupBy(F.col("nbrs").alias("n_neighbors"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_neighbors")
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT unnest([{{'a': toks[i], 'b': toks[i+1]}}
+                         for i in generate_series(1, len(toks) - 1)]) AS pr
+          FROM toks)
+    SELECT pr.a AS a, pr.b AS b, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pr.a, pr.b
+    ORDER BY n DESC, a ASC, b ASC LIMIT 20
+    """,
+    tags=["text", "bpe", "tokenizer"],
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — the inner-loop statistic of BPE
+    tokenizer training (the top pair is the next merge). Pairs come from
+    zipping each token array with its tail (pure codegen transform over
+    sequence, guarded for <2-token docs), exploded into ONE map-side
+    combinable count: at 100 TB the only shuffle is partial (a,b)
+    counts, never token rows. Top-20 under the total (n desc, a, b)
+    order so the grade is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(TX.tokens("text").alias("toks"))
+    pair_sql = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS a, toks[i] AS b)) END"
+    )
+    p = t.select(F.explode(F.expr(pair_sql)).alias("pr"))
+    return (
+        p.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
@@ -7407,7 +7496,10 @@ GRADED_WINDOW: list[str] = [
     "u1_union_dedup",
     "w1_running_total",
     "q13_customer_order_distribution",
-    "q21_multi_supplier_orders",
+    # q21 ceded its slot (green r03 driver row + local parity retained)
+    # to the round-4 PassJoin family — a new operator family should
+    # carry a driver-graded row, not rest on the local replica alone
+    "fuzzy_pairs_hamming",
     # w2_rollup_region sits outside: ROLLUP is GROUPING SETS' special
     # case and w3 already burns a slot on that family
     "w3_grouping_sets",
