@@ -260,3 +260,71 @@ def test_hamming_neighbor_pairs_exact_recall_d2(spark):
     # the triple-substitution variant pairs with singles at shared positions
     # only where true distance ≤ 2 — brute is the spec; containment both ways
     assert (0, 7) not in got  # distance 3 from base: correctly excluded
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_neighbor_pairs_exact_recall_all_edit_kinds(spark):
+    """Brute-force containment both ways on a corpus exercising every
+    edit kind: substitution, insertion, deletion, identity, distance-2
+    near-misses (incl. two deletions that share a variant but must be
+    verified away), and the empty/1-char degenerate lengths."""
+    from vul_dbgen_spark.operators.dedup import edit_neighbor_pairs
+
+    strings = [
+        "kitten",
+        "mitten",    # substitution
+        "kitte",     # deletion
+        "kittens",   # insertion
+        "kitchen",   # distance 2 — excluded
+        "kiten",     # deletion (of one 't'); also dist 1 from "kitte"? no: lev=2
+        "sitting",   # far
+        "kitten",    # exact duplicate
+        "a",
+        "",          # empty — pairs with "a" (one deletion), sequence guard
+        "b",         # "a"~"b" substitution, ""~"b" deletion
+    ]
+    df = spark.createDataFrame(list(enumerate(strings)), ["id", "s"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_neighbor_pairs(df, "id", "s").collect()
+    }
+    brute = {
+        (i, j)
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= 1
+    }
+    assert got == brute
+    assert (0, 2) in got and (0, 3) in got and (0, 7) in got  # del, ins, dup
+    assert (0, 4) not in got  # kitchen: distance 2 despite shared variants
+    assert (8, 9) in got and (9, 10) in got  # empty-string edge cases
+
+
+def test_edit1_equals_hamming1_on_fixed_width_corpus(spark):
+    """On an equal-length corpus ed ≤ 1 ⟺ one substitution, so the
+    SymSpell blocking and the PassJoin pigeonhole blocking must return
+    the identical pair set from structurally different plans — the
+    cross-operator differential check fuzzy_pairs_edit1 relies on."""
+    from vul_dbgen_spark.operators.dedup import (
+        edit_neighbor_pairs,
+        hamming_neighbor_pairs,
+    )
+
+    names = [f"Customer#{n:09d}" for n in [1, 2, 11, 101, 110, 21, 999999999]]
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "s"])
+    ed = {(r.id_a, r.id_b) for r in edit_neighbor_pairs(df, "id", "s").collect()}
+    hm = {
+        (r.id_a, r.id_b)
+        for r in hamming_neighbor_pairs(df, "id", "s", d=1).collect()
+    }
+    assert ed == hm
+    assert ed  # non-vacuous: the dense ids do produce neighbors

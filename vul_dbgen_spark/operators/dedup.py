@@ -563,3 +563,61 @@ def hamming_neighbor_pairs(
         .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
         .distinct()
     )
+
+
+def edit_neighbor_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+    """All pairs of strings within Levenshtein distance 1 — including
+    insertions and deletions, which ``hamming_neighbor_pairs`` cannot
+    see (deletion-neighborhood blocking, the FastSS/SymSpell family:
+    Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007).
+
+    Recall argument (exact, not probabilistic): block each string on
+    ``{s} ∪ deletes1(s)`` — itself plus every single-character deletion.
+    If ed(s,t) ≤ 1 the pair shares a block key verbatim: equality shares
+    ``s``; a substitution at position i shares the delete-at-i variant
+    of both; an insertion (t = s plus one char) shares ``s`` itself,
+    which is also a deletion variant of t. So an equi-join on the
+    variant finds every qualifying pair, and the exact
+    ``levenshtein(s, t) ≤ 1`` verify (same function in Spark and
+    DuckDB — integer, engine-exact) discards the false candidates that
+    shared-variant blocking admits (two different deletions can
+    coincide, a distance-2 shape).
+
+    Plan shape (100 TB story): variant generation is one codegen array
+    expression per row (``array_distinct`` collapses the duplicate
+    variants a run of identical characters produces — deleting any of
+    five zeros yields the same string — so repeated-char identifiers
+    don't inflate their own block lists); candidates come from an
+    equi-join on the variant string, never an all-pairs scan; the
+    verify is O(len²) row-local work on candidates only. Block-key
+    volume is (len+1)·n rows; hot variants (shared by many rows) are
+    the same pathology — and would take the same broadcast-anti-join
+    df-cap remedy — as ``minhash_lsh_pairs``' hot bands.
+
+    Returns distinct (``id_a``, ``id_b``) with ``id_a`` < ``id_b``.
+    """
+    # guard the degenerate empty string: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), it is not empty — gate on length explicitly
+    var_sql = (
+        "array_distinct(IF(length(__s) < 1, array(__s), "
+        "concat(array(__s), transform(sequence(1, length(__s)), "
+        "i -> concat(substr(__s, 1, i - 1), substr(__s, i + 1, length(__s)))))))"
+    )
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
+        .select("__id", "__s", F.explode(F.expr(var_sql)).alias("__v"))
+    )
+    right = base.select(
+        F.col("__id").alias("__id2"),
+        F.col("__s").alias("__s2"),
+        F.col("__v").alias("__v2"),
+    )
+    return (
+        base.join(
+            right,
+            (F.col("__v") == F.col("__v2")) & (F.col("__id") < F.col("__id2")),
+        )
+        .filter(F.levenshtein("__s", "__s2") <= 1)
+        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
+        .distinct()
+    )

@@ -7457,6 +7457,116 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_pairs_edit1",
+    """
+    WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+    v AS (SELECT id, nm, unnest(list_distinct(
+              list_append([substr(nm, 1, i - 1) || substr(nm, i + 1, len(nm))
+                           for i in generate_series(1, len(nm))], nm))) AS var
+          FROM s),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+             WHERE levenshtein(a.nm, b.nm) <= 1),
+    ends AS (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand),
+    per AS (SELECT id, CAST(count(*) AS BIGINT) AS nbrs FROM ends GROUP BY id)
+    SELECT nbrs AS n_neighbors, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per GROUP BY nbrs ORDER BY nbrs
+    """,
+    tags=["dedup", "fuzzy-join", "edit-distance", "symspell"],
+)
+def fuzzy_pairs_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on customer names under FULL Levenshtein
+    distance 1 — substitutions AND insertions/deletions — via
+    operators/dedup.py:edit_neighbor_pairs (FastSS/SymSpell
+    deletion-neighborhood blocking, exact recall; candidates from an
+    equi-join on {s} ∪ deletes1(s), verified with the engine-exact
+    integer ``levenshtein``). On this fixed-width corpus every c_name
+    has the same length, so the result must equal
+    ``fuzzy_pairs_hamming`` — a deliberate cross-operator differential
+    check graded from a structurally different plan (deletion-variant
+    blocks vs pigeonhole position classes); the variable-length cases
+    that separate the two operators are pinned in
+    tests/test_dedup_verify.py. Same neighbor-count-histogram grade."""
+    from ..operators.dedup import edit_neighbor_pairs
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit_neighbor_pairs(c, "c_custkey", "c_name")
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    per = ends.groupBy("id").agg(F.count(F.lit(1)).alias("nbrs"))
+    return (
+        per.groupBy(F.col("nbrs").alias("n_neighbors"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_neighbors")
+    )
+
+
+@register(
+    "doc_bigram_logxent",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+            SELECT doc_id, unnest([{{'a': toks[i], 'b': toks[i+1]}}
+                                   for i in generate_series(1, len(toks) - 1)]) AS pr
+            FROM toks)),
+    cab AS (SELECT a, b, count(*) AS cab FROM b GROUP BY a, b),
+    ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(cab.cab / ca.ca)), 4) AS xent_nats
+    FROM b JOIN cab USING (a, b) JOIN ca USING (a)
+    GROUP BY b.doc_id
+    """,
+    tags=["text", "quality", "perplexity", "curation"],
+)
+def doc_bigram_logxent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus BIGRAM LM — one
+    conditioning order up from doc_unigram_logxent, and the next rung
+    toward CCNet's n-gram-LM perplexity filter: templated text scores
+    even lower (its transitions repeat), token-salad scores higher
+    (frequent tokens in rare orders — invisible to the unigram score).
+    xent(d) = -(1/|bigrams|) Σ ln P(b|a), P(b|a) = c(a,b)/c(a,·) from
+    corpus counts; every in-corpus bigram has c ≥ 1, so the unsmoothed
+    estimate never hits ln 0. Docs with < 2 tokens have no bigrams and
+    drop out — same rule in both engines.
+
+    Physical shape mirrors the unigram entry: the bigram explode is
+    scanned twice, both passes aggregate map-side; c(a,·) derives from
+    the (a,b) count table (vocab²-bounded, ≪ corpus — broadcasts at
+    scale) rather than a third corpus scan; rounded at 4 decimals past
+    summation-order float noise."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    pair_sql = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> struct(toks[i-1] AS a, toks[i] AS b)) END"
+    )
+    b = t.select("doc_id", F.explode(F.expr(pair_sql)).alias("pr")).select(
+        "doc_id", F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+    )
+    cab = (
+        b.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    logp = F.log(F.col("cab") / F.col("ca"))
+    return (
+        b.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg(logp), 4).alias("xent_nats"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
