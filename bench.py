@@ -203,6 +203,11 @@ def main() -> None:
             "dedup_incremental", "decontaminate_eval",
             "dedup_minhash_lsh_pairs_capped", "dedup_substring_spans",
             "ann_pq_adc_topk", "graph_khop_reach", "graph_triangle_stats",
+            # PassJoin blocking slope: dense sequential c_name ids make
+            # class-key bucket sizes grow ~linearly with SF, so candidate
+            # volume (Σ bucket²) grows ~10x at 10x data — the measured
+            # ratio checks that the verify stays candidate-bound
+            "fuzzy_pairs_hamming",
         ]
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}

@@ -328,3 +328,67 @@ def test_edit1_equals_hamming1_on_fixed_width_corpus(spark):
     }
     assert ed == hm
     assert ed  # non-vacuous: the dense ids do produce neighbors
+
+
+def test_hamming_key_cap_drops_only_hot_bucket_pairs(spark):
+    """max_key_df containment property (the band-cap analog): capped
+    pairs ⊆ uncapped pairs; a pair is dropped iff every class it agrees
+    on is hot; cold near-dup pairs survive."""
+    from vul_dbgen_spark.operators.dedup import hamming_neighbor_pairs
+
+    def interleave(even: str, odd: str) -> str:
+        # class 0 holds positions 1,3,5,7 (1-based, (i-1)%2==0) = even arg
+        return "".join(a + b for a, b in zip(even, odd))
+
+    rows = []
+    # hot class-0 bucket: 16 strings share even-class key "abcd"; two of
+    # them ("wxyz"/"wxyQ") are a true distance-1 pair whose OTHER class
+    # keys differ — their only meeting bucket is the hot one
+    # fillers are pairwise distance-4 in every odd position (sliding
+    # alphabet windows) so they add bucket heat without adding pairs
+    odds = ["wxyz", "wxyQ"] + [
+        chr(65 + i) + chr(70 + i) + chr(75 + i) + chr(80 + i) for i in range(14)
+    ]
+    for k, o in enumerate(odds):
+        rows.append((k, interleave("abcd", o)))
+    # cold pair: distinct even-class key "efgh", also distance 1
+    rows.append((100, interleave("efgh", "stuv")))
+    rows.append((101, interleave("efgh", "stuQ")))
+    df = spark.createDataFrame(rows, ["id", "s"])
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in hamming_neighbor_pairs(df, "id", "s", d=1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hamming_neighbor_pairs(df, "id", "s", d=1, max_key_df=10).collect()
+    }
+    assert capped <= uncapped
+    assert (0, 1) in uncapped and (0, 1) not in capped  # hot-only pair dropped
+    assert (100, 101) in capped  # cold pair survives
+    # nothing else differs: the only dropped pairs are hot-bucket-only
+    assert uncapped - capped == {(0, 1)}
+
+
+def test_edit_key_cap_drops_only_hot_variant_pairs(spark):
+    """Same containment property for the SymSpell join: a duplicate
+    cluster bigger than the cap loses its intra-cluster pairs (exact
+    dedup's job anyway); cold near-dup pairs survive."""
+    from vul_dbgen_spark.operators.dedup import edit_neighbor_pairs
+
+    rows = [(i, "duplicate") for i in range(15)]  # hot: all variants shared
+    rows += [(100, "kitten"), (101, "mitten")]    # cold substitution pair
+    df = spark.createDataFrame(rows, ["id", "s"])
+    uncapped = {
+        (r.id_a, r.id_b) for r in edit_neighbor_pairs(df, "id", "s").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in edit_neighbor_pairs(df, "id", "s", max_key_df=10).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped
+    # every dropped pair is intra-hot-cluster (both ids < 100)
+    assert all(a < 100 and b < 100 for a, b in uncapped - capped)
+    assert len(uncapped - capped) == 15 * 14 // 2  # the whole hot clique

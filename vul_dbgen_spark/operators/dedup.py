@@ -489,7 +489,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n: int = 2, bits: int =
 
 
 def hamming_neighbor_pairs(
-    df: DataFrame, id_col: str, s_col: str, d: int = 1
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    d: int = 1,
+    max_key_df: int | None = None,
 ) -> DataFrame:
     """All pairs of equal-length strings within Hamming distance ``d``
     (pigeonhole segment blocking — the partition-signature idea of
@@ -518,8 +522,15 @@ def hamming_neighbor_pairs(
     classes. Candidate volume is Θ(Σ bucket²) over class-key buckets;
     dense sequential-ID corpora give bucket sizes ≈ N/10^(digits per
     class), and genuinely hot keys (many rows identical in a whole
-    class) are the same pathology — and take the same df-cap remedy —
-    as ``minhash_lsh_pairs``' hot bands.
+    class) are the same pathology as ``minhash_lsh_pairs``' hot bands —
+    and take the same remedy: ``max_key_df`` drops class-key buckets
+    larger than the cap before the self-join (tiny per-key aggregate +
+    broadcast anti-join, no extra big shuffle). The cap trades the
+    exactness guarantee for scale — a pair is lost only if EVERY class
+    it agrees on is hot (with d+1 independent classes, near-misses on
+    organic text keep a cold class; a corpus where 10⁶ rows agree on a
+    whole position class is boilerplate, the thing dedup drops anyway).
+    Off by default so the uncapped path stays the exact-recall verifier.
 
     Returns distinct (``id_a``, ``id_b``) with ``id_a`` < ``id_b``.
     """
@@ -539,6 +550,17 @@ def hamming_neighbor_pairs(
     ).select(
         "__id", "__s", "__len", F.col("pos").alias("__cls"), F.col("col").alias("__key")
     )
+    if max_key_df is not None:
+        hot = (
+            base.groupBy("__cls", "__key", "__len")
+            .count()
+            .filter(F.col("count") > max_key_df)
+        )
+        base = base.join(
+            F.broadcast(hot.select("__cls", "__key", "__len")),
+            ["__cls", "__key", "__len"],
+            "left_anti",
+        )
     left = base
     right = base.select(
         F.col("__id").alias("__id2"),
@@ -565,7 +587,12 @@ def hamming_neighbor_pairs(
     )
 
 
-def edit_neighbor_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+def edit_neighbor_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_key_df: int | None = None,
+) -> DataFrame:
     """All pairs of strings within Levenshtein distance 1 — including
     insertions and deletions, which ``hamming_neighbor_pairs`` cannot
     see (deletion-neighborhood blocking, the FastSS/SymSpell family:
@@ -591,8 +618,14 @@ def edit_neighbor_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
     equi-join on the variant string, never an all-pairs scan; the
     verify is O(len²) row-local work on candidates only. Block-key
     volume is (len+1)·n rows; hot variants (shared by many rows) are
-    the same pathology — and would take the same broadcast-anti-join
-    df-cap remedy — as ``minhash_lsh_pairs``' hot bands.
+    the same pathology as ``minhash_lsh_pairs``' hot bands and take the
+    same remedy: ``max_key_df`` drops variant buckets larger than the
+    cap before the self-join (tiny per-variant aggregate + broadcast
+    anti-join). Capping trades exact recall for scale — a pair is lost
+    only if its EVERY shared variant is hot, and a variant shared by
+    more than the cap's worth of rows means that many near-identical
+    strings, i.e. a duplicate cluster the cheaper exact/canonical dedup
+    passes already collapse. Off by default (exact-recall verifier).
 
     Returns distinct (``id_a``, ``id_b``) with ``id_a`` < ``id_b``.
     """
@@ -607,6 +640,9 @@ def edit_neighbor_pairs(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
         df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
         .select("__id", "__s", F.explode(F.expr(var_sql)).alias("__v"))
     )
+    if max_key_df is not None:
+        hot = base.groupBy("__v").count().filter(F.col("count") > max_key_df)
+        base = base.join(F.broadcast(hot.select("__v")), "__v", "left_anti")
     right = base.select(
         F.col("__id").alias("__id2"),
         F.col("__s").alias("__s2"),
