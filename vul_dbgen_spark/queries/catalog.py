@@ -1544,7 +1544,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_oracle() -> str:
+def _langid_case() -> str:
+    """The DuckDB argmax-prediction CASE, shared by the per-doc langid
+    grade and the accuracy eval so both oracles mirror the exact same
+    scoring expressions."""
     score = {
         lang: (
             "len(list_filter(toks, x -> list_contains(["
@@ -1558,6 +1561,18 @@ def _langid_oracle() -> str:
     for lang in TX.LANG_MARKERS:
         case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
     case += "END"
+    return case
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x)))"
+        )
+        for lang, words in TX.LANG_MARKERS.items()
+    }
     cols = ",\n           ".join(
         f"CAST({score[lang]} AS BIGINT) AS s_{lang}" for lang in TX.LANG_MARKERS
     )
@@ -1565,7 +1580,7 @@ def _langid_oracle() -> str:
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
     SELECT doc_id,
            {cols},
-           {case} AS pred_lang
+           {_langid_case()} AS pred_lang
     FROM t
     """
 
@@ -1581,6 +1596,44 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[s.cast("bigint").alias(f"s_{lang}") for lang, s in scores.items()],
         TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"),
+    )
+
+
+@register(
+    "langid_accuracy_eval",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, lang, {_langid_case()} AS pred_lang FROM t)
+    SELECT lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+               AS frac_of_label
+    FROM p GROUP BY lang, pred_lang
+    """,
+    tags=["text", "lang-id", "eval"],
+)
+def langid_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled ``lang`` column
+    — the classifier-health eval the other eval entries
+    (ann_recall_eval, dedup_lsh_recall_eval) provide for their index
+    structures: per (label, prediction) cell, doc count and the
+    fraction of that label's docs (row-normalized recall; the diagonal
+    is per-language accuracy). Uses the identical scoring/argmax
+    expressions as text_langid (the oracle shares the generated CASE
+    verbatim via _langid_case), so the eval grades the REAL predictor,
+    not a re-implementation. One map-side-combinable aggregate plus a
+    languages²-bounded window — the confusion table is ≤ |langs|² rows
+    at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("lang", TX.tokens("text").alias("toks"))
+    p = t.select("lang", TX.lang_id_from_tokens(F.col("toks")).alias("pred_lang"))
+    cell = p.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_label"),
     )
 
 
