@@ -392,3 +392,61 @@ def test_edit_key_cap_drops_only_hot_variant_pairs(spark):
     # every dropped pair is intra-hot-cluster (both ids < 100)
     assert all(a < 100 and b < 100 for a, b in uncapped - capped)
     assert len(uncapped - capped) == 15 * 14 // 2  # the whole hot clique
+
+
+def test_ppjoin_exact_recall_and_boundary(spark):
+    """Prefix-filter join vs brute force, including the exact rational
+    boundary (38 shared of 39|39 → jaccard 38/40 = 19/20 exactly, must
+    be KEPT by the integer verify)."""
+    from vul_dbgen_spark.operators.dedup import ppjoin_pairs
+
+    base = [f"t{i}" for i in range(39)]
+    rows = [
+        (0, base),
+        (1, list(base)),                    # identical → 1.0
+        (2, base[:-1] + ["x1"]),            # 38/40 = 0.95 → boundary keep
+        (3, base[:-2] + ["x1", "x2"]),      # 37/41 < 0.95 → drop
+        (4, [f"z{i}" for i in range(10)]),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(df, "id", "toks", num=19, den=20).collect()
+    }
+    brute = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            sa, sb = set(rows[i][1]), set(rows[j][1])
+            inter = len(sa & sb)
+            if 39 * inter >= 19 * (len(sa) + len(sb)):
+                brute[(rows[i][0], rows[j][0])] = round(
+                    inter / (len(sa) + len(sb) - inter), 4
+                )
+    assert got == brute
+    assert (0, 2) in got and abs(got[(0, 2)] - 0.95) < 1e-9
+    assert (0, 3) not in got and (0, 1) in got
+
+
+def test_ppjoin_exact_recall_low_threshold_brute(spark):
+    """Containment both ways vs brute force at tau = 1/2 over a
+    structured family of overlapping subsets."""
+    import itertools
+
+    from vul_dbgen_spark.operators.dedup import ppjoin_pairs
+
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(16):
+        toks = sorted({vocab[(i * 5 + k * 3) % 12] for k in range(4 + (i % 5))})
+        rows.append((i, toks))
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_pairs(df, "id", "toks", num=1, den=2).collect()
+    }
+    brute = set()
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        sa, sb = set(a), set(b)
+        if 3 * len(sa & sb) >= len(sa) + len(sb):
+            brute.add((i, j))
+    assert got == brute and brute

@@ -674,3 +674,112 @@ def edit_neighbor_pairs(
         .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
         .distinct()
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    toks_col: str,
+    num: int = 19,
+    den: int = 20,
+) -> DataFrame:
+    """Exact set-similarity self-join: all pairs with token-set Jaccard
+    ≥ ``num/den``, via prefix filtering (the AllPairs/PPJoin family —
+    Bayardo/Ma/Srikant WWW'07, Xiao et al. WWW'08). This is the
+    LOSSLESS scalable set join: unlike the df-caps on the LSH/fuzzy
+    joins above (which trade recall for boundedness), prefix filtering
+    is an exact-recall reduction — every qualifying pair survives, by
+    theorem, not by luck.
+
+    Prefix theorem: order all tokens by a global total order (here
+    ascending document frequency, rarest first, ties by token — the
+    order that makes prefixes selective); give each set ``s`` a prefix
+    of its first ``|s| - ⌈τ·|s|⌉ + 1`` tokens. If jacc(a,b) ≥ τ then
+    |a∩b| ≥ ⌈τ·|a|⌉ and ≥ ⌈τ·|b|⌉, so the smallest common token (in
+    the global order) must sit inside BOTH prefixes — otherwise the
+    common tokens all fall in a suffix too short to reach the required
+    overlap. Hence an equi-join on prefix tokens alone has exact
+    recall, and the exact integer verify (``den·i ≥ num·(na+nb−i)``,
+    cross-multiplied — no float thresholds) discards the rest.
+
+    The threshold is a rational ``num/den`` so prefix lengths
+    (⌈num·n/den⌉ as ``(num·n + den − 1) div den``) and the verify are
+    pure integer arithmetic — bit-identical across engines, no
+    ``ceil(0.95·n)`` float hazards.
+
+    Plan shape (100 TB story): token df is one map-side-combinable
+    aggregate; the global order ships as a zero-padded ``df|token``
+    sort key, so per-set ordering is one row-local ``sort_array`` —
+    no broadcast vocabulary needed; candidates come from an equi-join
+    on prefix tokens only (on a Zipfian corpus the rarest-first prefix
+    puts most sets behind low-df postings — candidate volume tracks
+    Σ prefix-posting², a small fraction of Σ posting²); the verify
+    joins candidate ids back to the doc arrays and runs one O(n)
+    ``array_intersect`` per pair. Size-compatibility predicates
+    (``den·na ≥ num·nb`` and symmetric) prune length-mismatched
+    candidates before the verify. On a LOW-entropy vocabulary (this
+    synthetic corpus: ~100 words) prefixes are less selective — the
+    probe measured 124,750 brute pairs reduced to ~5k candidates at
+    19/20 — while real Zipfian text does far better; the theorem is
+    unconditional either way.
+
+    Returns (``id_a``, ``id_b``, ``jaccard``) with ``id_a`` < ``id_b``,
+    jaccard rounded to 4 decimals.
+    """
+    base = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col(toks_col)).alias("__toks"),
+        )
+    )
+    t = base.select("__id", F.explode("__toks").alias("__tok"))
+    dft = t.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    keyed = t.join(dft, "__tok").select(
+        "__id",
+        F.concat(
+            F.lpad(F.col("__df").cast("string"), 8, "0"),
+            F.lit("|"),
+            F.col("__tok"),
+        ).alias("__key"),
+    )
+    sk = keyed.groupBy("__id").agg(
+        F.sort_array(F.collect_list("__key")).alias("__skeys")
+    )
+    prefix_len = (
+        f"size(__skeys) - (({num} * size(__skeys) + {den} - 1) div {den}) + 1"
+    )
+    pfx = sk.select(
+        "__id",
+        F.size("__skeys").alias("__n"),
+        F.explode(F.expr(f"slice(__skeys, 1, {prefix_len})")).alias("__pk"),
+    )
+    right = pfx.select(
+        F.col("__id").alias("__id2"),
+        F.col("__n").alias("__n2"),
+        F.col("__pk").alias("__pk2"),
+    )
+    cand = (
+        pfx.join(
+            right,
+            (F.col("__pk") == F.col("__pk2"))
+            & (F.col("__id") < F.col("__id2"))
+            & (F.lit(den) * F.col("__n2") >= F.lit(num) * F.col("__n"))
+            & (F.lit(den) * F.col("__n") >= F.lit(num) * F.col("__n2")),
+        )
+        .select(F.col("__id").alias("id_a"), F.col("__id2").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    i = F.size(F.array_intersect("__ta", "__tb"))
+    na, nb = F.size("__ta"), F.size("__tb")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.lit(den + num) * i >= F.lit(num) * (na + nb))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(i / (na + nb - i), 4).alias("jaccard"),
+        )
+    )

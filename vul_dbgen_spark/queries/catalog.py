@@ -7620,6 +7620,62 @@ def doc_bigram_logxent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ppjoin_tokens",
+    f"""
+    WITH toks AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    dft AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+    keyed AS (SELECT doc_id, printf('%08d|%s', df, tok) AS key
+              FROM t JOIN dft USING (tok)),
+    sk AS (SELECT doc_id, list_sort(list(key)) AS skeys, count(*) AS n
+           FROM keyed GROUP BY doc_id),
+    pfx AS (SELECT doc_id, n,
+                   unnest(skeys[1 : n - ((19*n + 19)//20) + 1]) AS pk
+            FROM sk),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pfx a JOIN pfx b
+               ON a.pk = b.pk AND a.doc_id < b.doc_id
+              AND 20*b.n >= 19*a.n AND 20*a.n >= 19*b.n),
+    v AS (SELECT id_a, id_b,
+                 len(list_intersect(x.toks, y.toks)) AS i,
+                 len(x.toks) AS na, len(y.toks) AS nb
+          FROM cand
+          JOIN toks x ON x.doc_id = id_a
+          JOIN toks y ON y.doc_id = id_b)
+    SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 4) AS jaccard
+    FROM v WHERE 39*i >= 19*(na + nb)
+    """,
+    # NOT benched, same reason as the ngram sf1 exclusions: on this
+    # ~100-word synthetic vocabulary the TRUE ≥0.95-Jaccard pair count
+    # is quadratic in corpus size (measured: 1,887 pairs at 500 docs →
+    # 190,925 at 5,000 — and 14.5 s at sf0.1, all of it output/verify
+    # volume, not engine overhead). Any exact-recall join is Θ(output)
+    # by problem statement; the entry is graded for correctness at
+    # sf0.01 where the output is sane.
+    tags=["dedup", "set-similarity", "ppjoin", "prefix-filter"],
+)
+def dedup_ppjoin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity self-join at Jaccard ≥ 19/20 via
+    prefix filtering (operators/dedup.py:ppjoin_pairs — the
+    AllPairs/PPJoin family, WWW'07/'08): the LOSSLESS scalable set
+    join, contrasting with the recall-trading df-caps on the LSH
+    joins. Candidates come only from an equi-join on each set's
+    rarest-⌈(1−τ)n⌉+1 tokens under the global (df, token) order —
+    exact recall by the prefix theorem — and the verify is pure
+    integer cross-multiplication (39·i ≥ 19·(na+nb)), bit-identical
+    in DuckDB. On this deliberately low-entropy synthetic vocabulary
+    (~100 words) the probe measured 124,750 brute pairs → ~5k
+    candidates; Zipfian text does far better. The rational 19/20
+    threshold keeps prefix lengths integer on both engines (no
+    ceil-of-float hazards)."""
+    from ..operators.dedup import ppjoin_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    return ppjoin_pairs(t, "doc_id", "toks", num=19, den=20)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
