@@ -264,3 +264,34 @@ def test_pagerank_empty_graph_returns_empty(spark):
     # self-loops only: filtered out, still empty, still no crash
     e2 = spark.createDataFrame([(1, 1), (2, 2)], "src: long, dst: long")
     assert pagerank(e2).count() == 0
+
+
+def test_triangle_stats_huge_ids_fallback_identical(spark):
+    # ids past 2^31 (and a negative id) force the two-column closing
+    # join; shifting the same graph into packable range takes the
+    # packed-long path — the census must be identical on both
+    base = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5), (2, 4)]
+    big = 1 << 33
+    shifted = [(u + big, v + big) for u, v in base]
+    shifted[0] = (-(1 << 32), shifted[0][1])  # negative id too
+    small = spark.createDataFrame(base, "src: long, dst: long")
+    huge = spark.createDataFrame(shifted, "src: long, dst: long")
+    rs = triangle_stats(small).collect()[0]
+    rh = triangle_stats(huge).collect()[0]
+    # the negative-id rewrite moves one endpoint of edge (1,2): node 1
+    # splits into {-2^32, 1+2^33} — recompute expectations directly
+    # instead: equality is checked on the UNshifted graph vs a purely
+    # shifted copy (drop the negative-id edge from both)
+    assert rs["n_triangles"] == 3 and rs["n_wedges"] == 14
+
+    pure_shift = [(u + big, v + big) for u, v in base]
+    huge2 = spark.createDataFrame(pure_shift, "src: long, dst: long")
+    rh2 = triangle_stats(huge2).collect()[0]
+    assert (
+        rh2["n_triangles"],
+        rh2["n_wedges"],
+        rh2["clustering_coeff"],
+    ) == (rs["n_triangles"], rs["n_wedges"], rs["clustering_coeff"])
+    # the negative-id variant still runs (fallback path) and counts the
+    # same wedges minus those lost by splitting node 1
+    assert rh["n_triangles"] >= 2
