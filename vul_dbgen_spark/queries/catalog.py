@@ -7699,6 +7699,13 @@ def dedup_ppjoin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simhash, langid, approx-percentile, sessionize, pivot,
 # split_train_test, chunk_documents, w5 — every swapped-out entry keeps
 # its r03 green row and its local full-parity coverage.
+# Late-session round-4 swaps (same policy, 4 more slots): the operators
+# added after the first rotation — PPJoin exact set-similarity,
+# SymSpell edit-distance-1 join, the labeled language-ID accuracy eval,
+# and BPE pair counting — take the slots of q13, w3, text_token_counts,
+# and sample_weighted_priority, all of which hold green r03 driver rows
+# (w1 keeps the window family; text_quality keeps the text family;
+# sample_stratified keeps the sampling family).
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -7714,16 +7721,14 @@ GRADED_WINDOW: list[str] = [
     "k1_bucket_split",
     "u1_union_dedup",
     "w1_running_total",
-    "q13_customer_order_distribution",
     # q21 ceded its slot (green r03 driver row + local parity retained)
     # to the round-4 PassJoin family — a new operator family should
     # carry a driver-graded row, not rest on the local replica alone
     "fuzzy_pairs_hamming",
-    # w2_rollup_region sits outside: ROLLUP is GROUPING SETS' special
-    # case and w3 already burns a slot on that family
-    "w3_grouping_sets",
+    "fuzzy_pairs_edit1",
+    "dedup_ppjoin_tokens",
     "asof_order_before_event",
-    "text_token_counts",
+    "langid_accuracy_eval",
     # q17 (scalar-subquery threshold) ceded its slot: q22/q11 grade the
     # identical shape in the local full-parity artifact
     "dedup_exact",
@@ -7746,7 +7751,7 @@ GRADED_WINDOW: list[str] = [
     "tfidf_top_terms",
     "topk_parts_per_supplier",
     "merge_apply_orders",
-    "sample_weighted_priority",
+    "bpe_pair_counts",
     "sample_stratified",
     "q9_product_profit_shape",
     "graph_pagerank_parts",
