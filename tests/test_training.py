@@ -1,0 +1,95 @@
+"""Unit tests for operators/training.py — full-batch logistic GD and
+the tie-aware Mann-Whitney ROC-AUC. Catalog-level oracle parity for
+train_logreg_gd / score_auc_eval is covered by test_oracle_parity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.operators.training import (
+    LOGREG_FEATURE_SQL,
+    logreg_features,
+    logreg_train_gd,
+    logreg_train_report,
+    roc_auc,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, y double")
+
+
+def test_roc_auc_hand_case_with_tie(spark):
+    # ranks: 0.1→1, 0.8→(2,3) avg 2.5, 0.9→4; pos rank sum 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 0.875; pairwise check: 3 wins +
+    # 1 tie (counted 1/2) over 4 pos-neg pairs = 0.875
+    df = _scored(
+        spark, [(0.9, 1.0), (0.8, 0.0), (0.8, 1.0), (0.1, 0.0)]
+    )
+    row = roc_auc(df).first()
+    assert row["auc"] == 0.875
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    sep = _scored(spark, [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)])
+    assert roc_auc(sep).first()["auc"] == 1.0
+    inv = _scored(spark, [(0.9, 0.0), (0.8, 0.0), (0.2, 1.0), (0.1, 1.0)])
+    assert roc_auc(inv).first()["auc"] == 0.0
+
+
+def test_roc_auc_all_tied_is_half(spark):
+    df = _scored(spark, [(0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)])
+    assert roc_auc(df).first()["auc"] == 0.5
+
+
+def _toy_feats(spark):
+    # y perfectly separable on x1; x2 is noise-ish
+    rows = [
+        (1.0, 1.0, 0.2), (1.0, 0.9, 0.1), (1.0, 0.8, 0.3),
+        (0.0, -1.0, 0.2), (0.0, -0.9, 0.3), (0.0, -0.8, 0.1),
+    ]
+    return spark.createDataFrame(rows, "y double, x1 double, x2 double")
+
+
+def test_logreg_gd_descends_and_learns_sign(spark):
+    feats = _toy_feats(spark)
+
+    def logloss(w):
+        z = " + ".join([repr(w[0]), f"{w[1]!r} * x1", f"{w[2]!r} * x2"])
+        s = f"(1.0 / (1.0 + exp(-({z}))))"
+        return feats.agg(
+            F.expr(f"avg(-(y * ln({s}) + (1.0 - y) * ln(1.0 - {s})))")
+        ).first()[0]
+
+    losses = [logloss([0.0, 0.0, 0.0])]
+    for it in (1, 2, 4):
+        w = logreg_train_gd(feats, ["x1", "x2"], lr=0.5, iters=it)
+        losses.append(logloss(w))
+    assert math.isclose(losses[0], math.log(2.0), rel_tol=1e-12)
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    # the separating feature dominates and points the right way
+    assert w[1] > 0 and w[1] > abs(w[2])
+
+
+def test_logreg_gd_rerun_stable(spark):
+    feats = _toy_feats(spark)
+    w1 = logreg_train_gd(feats, ["x1", "x2"], lr=0.5, iters=3)
+    w2 = logreg_train_gd(feats, ["x1", "x2"], lr=0.5, iters=3)
+    assert w1 == w2
+
+
+def test_train_report_shape_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = logreg_features(docs)
+    rep = logreg_train_report(
+        spark, feats, list(LOGREG_FEATURE_SQL)
+    ).toPandas()
+    assert list(rep.columns) == ["feature", "weight"]
+    got = set(rep["feature"])
+    assert got == {"bias", "train_logloss", *LOGREG_FEATURE_SQL}
+    logloss = float(
+        rep.loc[rep["feature"] == "train_logloss", "weight"].iloc[0]
+    )
+    # learning happened: below the w=0 loss ln 2
+    assert 0.0 < logloss < math.log(2.0)

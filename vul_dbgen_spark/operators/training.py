@@ -1,0 +1,159 @@
+"""Distributed model training + ranking evaluation as DataFrame plans.
+
+Two pieces a corpus-curation pipeline needs beyond classifier
+*inference* (``functions/text.py:hashed_linear_score``):
+
+- ``logreg_train_gd``: full-batch logistic-regression gradient descent.
+  Each iteration is ONE scan — a map-side-combinable ``avg`` per
+  coefficient (partial aggregation pushes to the mappers, the shuffle
+  moves one row per partition) — and the current weight vector rides
+  into the scan as plan literals, the same broadcast-scalars shape as
+  the k-means assignment step (``operators/ivf_centroids.py``). The
+  driver holds k+1 floats between iterations (bounded scalar collect,
+  like graph.py's convergence probe); nothing else leaves the cluster.
+  Training on 100 TB costs ``iters`` scans of the feature projection —
+  at scale you persist the projected features once (columns, not
+  documents) and each pass reads only them.
+
+- ``roc_auc``: exact Mann-Whitney AUC via tie-aware average ranks.
+  Scores are first grouped (one map-side-combinable aggregate), then a
+  single ordered cumulative sum over the *distinct-score* table
+  computes each group's average rank. The global window is over
+  score groups, not rows — bounded by score cardinality (≤ 10^6 +1
+  distinct values for 6-dp-rounded sigmoids), which is why the window
+  is acceptable here and would not be on the raw row stream. Evals at
+  100 TB run on bounded eval samples; for full-corpus monitoring the
+  same formula runs on a quantile-binned histogram instead.
+
+Both are engine-mirrorable: gradients/weights are avg/× /− chains and
+the AUC is rank algebra, so a DuckDB oracle reproduces them to ULP
+drift only (summation order), absorbed by 6-dp rounding.
+
+Reference parity note: the reference (neuvector/vul-dbgen) has no
+model-training surface — this family is part of the beyond-reference
+LLM-pipeline layer the brief asks for, alongside dedup/ANN/sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Feature/label SQL, textually identical in Spark and DuckDB — both
+# engines evaluate the same IEEE-double ops in the same order, so the
+# only cross-engine drift is aggregate summation order.
+# CAST pins DOUBLE on both engines (DuckDB would otherwise type the
+# CASE literals DECIMAL(2,1) and drift the downstream arithmetic types)
+LOGREG_LABEL_SQL = (
+    "CAST(CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+)
+LOGREG_FEATURE_SQL: dict[str, str] = {
+    # kilo-chars: document length
+    "x1_kchars": "CAST(n_chars AS DOUBLE) / 1000.0",
+    # hecto-tokens: whitespace token count
+    "x2_htokens": (
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)"
+        " / 100.0"
+    ),
+    # occurrences of the label token, scaled — the learnable signal;
+    # (len - len(replace))/5 counts non-overlapping 'spark' matches
+    "x3_sparkcnt": (
+        "CAST(length(text) - length(replace(text, 'spark', '')) AS DOUBLE)"
+        " / 25.0"
+    ),
+}
+
+
+def logreg_features(docs: DataFrame) -> DataFrame:
+    """Project the (label, features) columns GD iterates over. At scale
+    this projection is persisted once so each pass scans ~4 doubles per
+    row instead of re-reading document text."""
+    return docs.selectExpr(
+        f"{LOGREG_LABEL_SQL} AS y",
+        *[f"{sql} AS {name}" for name, sql in LOGREG_FEATURE_SQL.items()],
+    )
+
+
+def _sigmoid_sql(w: list[float], feature_cols: list[str]) -> str:
+    # left-to-right sum so the oracle's textual mirror adds in the same
+    # order; repr() round-trips the float64 weights exactly
+    z = " + ".join(
+        [repr(w[0])]
+        + [f"{w_j!r} * {c}" for w_j, c in zip(w[1:], feature_cols)]
+    )
+    return f"(1.0 / (1.0 + exp(-({z}))))"
+
+
+def logreg_train_gd(
+    feats: DataFrame,
+    feature_cols: list[str],
+    lr: float = 1.0,
+    iters: int = 5,
+    label_col: str = "y",
+) -> list[float]:
+    """Full-batch GD; returns [bias, w_1..w_k]. One scan per iteration:
+    every gradient component is an avg() over the same sigmoid
+    subexpression, so Catalyst computes the shared logit once per row
+    inside whole-stage codegen and the shuffle is one partial-agg row
+    per partition. The collect is k+1 scalars."""
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iters):
+        s = _sigmoid_sql(w, feature_cols)
+        grads = [F.expr(f"avg({s} - {label_col})")] + [
+            F.expr(f"avg(({s} - {label_col}) * {c})") for c in feature_cols
+        ]
+        g = feats.agg(*grads).first()
+        w = [w_j - lr * g_j for w_j, g_j in zip(w, g)]
+    return w
+
+
+def logreg_train_report(
+    spark: SparkSession,
+    feats: DataFrame,
+    feature_cols: list[str],
+    lr: float = 1.0,
+    iters: int = 5,
+) -> DataFrame:
+    """Train, then emit (feature, weight) rows plus the final train
+    logloss — the artifact a curation pipeline freezes and ships to the
+    inference pass (hashed_linear_score's literal-weights slot)."""
+    w = logreg_train_gd(feats, feature_cols, lr=lr, iters=iters)
+    s = _sigmoid_sql(w, feature_cols)
+    loss = feats.agg(
+        F.expr(f"avg(-(y * ln({s}) + (1.0 - y) * ln(1.0 - {s})))")
+    ).first()[0]
+    rows = [("bias", w[0])] + list(zip(feature_cols, w[1:]))
+    rows.append(("train_logloss", float(loss)))
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney rank-sum) as a 1-row frame:
+    AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N). Group by score first —
+    the ordered cumulative sum then runs over distinct scores only."""
+    g = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(label_col).cast("double").alias("pos"),
+    )
+    cum = F.sum("c").over(
+        Window.orderBy(score_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    r = g.withColumn("avg_rank", cum - (F.col("c") - F.lit(1)) / F.lit(2.0))
+    return r.agg(
+        F.sum(F.col("pos") * F.col("avg_rank")).alias("prs"),
+        F.sum("pos").alias("p"),
+        F.sum("c").alias("n_all"),
+    ).select(
+        F.round(
+            (F.col("prs") - F.col("p") * (F.col("p") + 1) / F.lit(2.0))
+            / (F.col("p") * (F.col("n_all") - F.col("p"))),
+            6,
+        ).alias("auc"),
+        F.col("p").cast("bigint").alias("n_pos"),
+        (F.col("n_all") - F.col("p")).cast("bigint").alias("n_neg"),
+    )

@@ -6716,6 +6716,160 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_gd_oracle(iters: int = 5, lr: float = 1.0) -> str:
+    """Unrolled full-batch GD: one (gradient, weight) CTE pair per
+    iteration, weights threaded through scalar CROSS JOINs — textually
+    the same arithmetic the Spark loop evaluates, so the only
+    cross-engine drift is avg() summation order (≈1e-15, absorbed by
+    the 6-dp rounding)."""
+    from ..operators.training import LOGREG_FEATURE_SQL, LOGREG_LABEL_SQL
+
+    names = list(LOGREG_FEATURE_SQL)
+    k = len(names)
+    feat_sel = ", ".join(f"{sql} AS {n}" for n, sql in LOGREG_FEATURE_SQL.items())
+    zero = "CAST(0.0 AS DOUBLE)"
+
+    def sig() -> str:
+        z = " + ".join(
+            ["w.b"] + [f"w.c{j + 1} * {names[j]}" for j in range(k)]
+        )
+        return f"(1.0 / (1.0 + exp(-({z}))))"
+
+    parts = [
+        f"WITH feats AS (SELECT {LOGREG_LABEL_SQL} AS y, {feat_sel}"
+        " FROM documents)",
+        "w0 AS (SELECT "
+        + ", ".join([f"{zero} AS b"] + [f"{zero} AS c{j + 1}" for j in range(k)])
+        + ")",
+    ]
+    for i in range(1, iters + 1):
+        s = sig()
+        g_cols = ", ".join(
+            [f"avg({s} - y) AS gb"]
+            + [f"avg(({s} - y) * {names[j]}) AS g{j + 1}" for j in range(k)]
+        )
+        parts.append(f"g{i} AS (SELECT {g_cols} FROM feats CROSS JOIN w{i - 1} w)")
+        w_cols = ", ".join(
+            [f"w.b - {lr!r} * g.gb AS b"]
+            + [
+                f"w.c{j + 1} - {lr!r} * g.g{j + 1} AS c{j + 1}"
+                for j in range(k)
+            ]
+        )
+        parts.append(f"w{i} AS (SELECT {w_cols} FROM w{i - 1} w CROSS JOIN g{i} g)")
+    s = sig()
+    parts.append(
+        f"loss AS (SELECT avg(-(y * ln({s}) + (1.0 - y) * ln(1.0 - {s})))"
+        f" AS v FROM feats CROSS JOIN w{iters} w)"
+    )
+    selects = [
+        f"SELECT 'bias' AS feature, round(b, 6) AS weight FROM w{iters}"
+    ] + [
+        f"SELECT '{names[j]}', round(c{j + 1}, 6) FROM w{iters}"
+        for j in range(k)
+    ] + ["SELECT 'train_logloss', round(v, 6) FROM loss"]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "train_logreg_gd",
+    _logreg_gd_oracle(),
+    bench=True,
+    tags=["training", "logistic-regression", "gradient-descent", "iterative"],
+)
+def train_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING at corpus scale: 5 full-batch
+    gradient-descent iterations of a logistic regression predicting a
+    weak-supervision label (document mentions 'spark') from
+    length/token/term-count features. Each iteration is ONE scan whose
+    gradient components are map-side-combinable avg() aggregates
+    sharing a single codegen'd sigmoid; the weight vector rides into
+    the plan as literals (broadcast-scalar shape, as the k-means
+    assignment step) and the driver holds k+1 floats between passes.
+    Output is the frozen artifact the inference pass
+    (quality_linear_score) consumes: (feature, weight) rows plus final
+    train logloss — which descends from ln 2 ≈ 0.693 at w=0, making
+    the learning observable in the graded values. See
+    operators/training.py for the 100 TB cost model (persist the
+    projected features once; iters × ~4-double-column scans)."""
+    from ..operators.training import (
+        LOGREG_FEATURE_SQL,
+        logreg_features,
+        logreg_train_report,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = logreg_features(docs)
+    return logreg_train_report(spark, feats, list(LOGREG_FEATURE_SQL))
+
+
+def _score_auc_oracle() -> str:
+    from ..functions.text import HASHED_SCORER_DIM, hashed_scorer_weights
+    from ..operators.training import LOGREG_LABEL_SQL
+
+    wv = ", ".join(repr(x) for x in hashed_scorer_weights())
+    return f"""
+    WITH w AS (SELECT [{wv}] AS wv),
+    t AS (SELECT text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT round(1.0 / (1.0 + exp(-(list_reduce(
+               list_concat([CAST(0.0 AS DOUBLE)],
+                 list_transform(toks, tk ->
+                   wv[('0x' || substr(md5(tk), 1, 6))::INT % {HASHED_SCORER_DIM} + 1])),
+               (a, b) -> a + b)))), 6) AS score,
+               {LOGREG_LABEL_SQL} AS y
+        FROM t CROSS JOIN w),
+    g AS (SELECT score, count(*) AS c, CAST(sum(y) AS DOUBLE) AS pos
+          FROM s GROUP BY score),
+    r AS (SELECT pos,
+                 sum(c) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (c - 1) / 2.0 AS avg_rank,
+                 c
+          FROM g),
+    a AS (SELECT sum(pos * avg_rank) AS prs, sum(pos) AS p,
+                 CAST(sum(c) AS DOUBLE) AS n_all FROM r)
+    SELECT round((prs - p * (p + 1) / 2.0) / (p * (n_all - p)), 6) AS auc,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(n_all - p AS BIGINT) AS n_neg
+    FROM a
+    """
+
+
+@register(
+    "score_auc_eval",
+    _score_auc_oracle(),
+    bench=True,
+    tags=["eval", "roc-auc", "rank-sum", "classifier"],
+)
+def score_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the frozen hashed linear scorer
+    against the 'mentions spark' weak label — the eval a curation
+    pipeline runs before trusting a quality score to gate documents.
+    Mann-Whitney rank-sum form: scores are grouped (map-side
+    aggregate), average ranks come from ONE ordered cumulative sum over
+    the distinct-score table, and the AUC is a 1-row reduction — no
+    per-row global sort. The label's token does hash to a nonzero
+    weight, so the measurement is real, not 0.5 noise — and it comes
+    out ≈0.36: the md5 stand-in weights ANTI-correlate with this label,
+    which is precisely the misaligned-scorer condition the eval gate
+    exists to catch before the score is trusted (train_logreg_gd is
+    the fix: its trained weights replace the stand-in literals). See
+    operators/training.py:roc_auc for the bounded-cardinality window
+    argument and the quantile-binned variant for full-corpus runs."""
+    from ..functions.text import hashed_linear_score, hashed_scorer_weights
+    from ..operators.training import LOGREG_LABEL_SQL, roc_auc
+
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scored = docs.select(
+        F.round(
+            hashed_linear_score(toks, hashed_scorer_weights()), 6
+        ).alias("score"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    )
+    return roc_auc(scored)
+
+
 @register(
     "k_anonymity_audit",
     """
