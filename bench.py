@@ -203,6 +203,7 @@ def main() -> None:
             "dedup_incremental", "decontaminate_eval",
             "dedup_minhash_lsh_pairs_capped", "dedup_substring_spans",
             "ann_pq_adc_topk", "graph_khop_reach", "graph_triangle_stats",
+            "train_logreg_gd", "score_auc_eval", "train_logreg_hashed",
         ]
         # fuzzy_pairs_hamming is deliberately NOT in the sf1 list, for
         # the same Θ(n²)-by-problem-statement reason as the ngram pair

@@ -79,6 +79,66 @@ def test_logreg_gd_rerun_stable(spark):
     assert w1 == w2
 
 
+def test_hashed_logreg_closes_the_loop(spark, sf_dir):
+    """Train → infer → eval: the trained hashed classifier must beat
+    the frozen md5 stand-in's AUC on the same label by a wide margin
+    (the stand-in anti-correlates at ≈0.36; trained lands ≈0.9+)."""
+    from vul_dbgen_spark.functions.text import (
+        hashed_linear_score,
+        hashed_scorer_weights,
+    )
+    from vul_dbgen_spark.functions import text as TX
+    from vul_dbgen_spark.operators.training import (
+        LOGREG_LABEL_SQL,
+        _fold_sigmoid,
+        _with_weights,
+        hashed_logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        TX.tokens(F.col("text")).alias("toks"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    ).localCheckpoint()
+    b, w = hashed_logreg_train(base, prepared=True)
+    s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), 1024)
+    trained = roc_auc(
+        _with_weights(base, w, b).select(
+            F.round(s, 6).alias("score"), "y"
+        )
+    ).first()["auc"]
+    standin = roc_auc(
+        base.select(
+            F.round(
+                hashed_linear_score(
+                    F.col("toks"), hashed_scorer_weights()
+                ),
+                6,
+            ).alias("score"),
+            "y",
+        )
+    ).first()["auc"]
+    assert trained > 0.85, trained
+    assert trained > standin + 0.3, (trained, standin)
+
+
+def test_hashed_logreg_rerun_stable(spark, sf_dir):
+    from vul_dbgen_spark.functions import text as TX
+    from vul_dbgen_spark.operators.training import (
+        LOGREG_LABEL_SQL,
+        hashed_logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        TX.tokens(F.col("text")).alias("toks"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    )
+    b1, w1 = hashed_logreg_train(base, iters=2)
+    b2, w2 = hashed_logreg_train(base, iters=2)
+    assert b1 == b2 and w1 == w2
+
+
 def test_train_report_shape_on_documents(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = logreg_features(docs)

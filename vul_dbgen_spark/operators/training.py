@@ -128,6 +128,138 @@ def logreg_train_report(
     return out.select("feature", F.round("weight", 6).alias("weight"))
 
 
+def hashed_dim(tok: Column, dim: int) -> Column:
+    """md5 hashing-trick bucket for a token — MUST stay textually in
+    sync with functions/text.py:hashed_linear_score's lookup index (the
+    trainer writes the weights that fold reads)."""
+    return F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("int") % dim
+
+
+def _fold_sigmoid(
+    wv: Column, bias: Column, toks: Column, dim: int
+) -> Column:
+    """sigmoid(LEFT fold of hashed weight lookups) with the weights read
+    from COLUMNS — same fold text as
+    functions/text.py:hashed_linear_score, but the weight vector is
+    data, not a plan literal. Rationale: a 1024-element literal array
+    inside the higher-order fold costs seconds of analysis/codegen per
+    JOB (measured 3.5 s on a 500-row scan); as a 1-row broadcast column
+    the plan stays small and the same job runs in ~0.2 s. This is the
+    packed-Bloom pattern (operators/sketches.py) applied to model
+    weights — and it is exactly how the oracle holds them (CTE with a
+    list column, CROSS JOIN)."""
+
+    def step(acc: Column, t: Column) -> Column:
+        return acc + F.element_at(wv, hashed_dim(t, dim) + 1)
+
+    z = F.aggregate(toks, bias, step)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _with_weights(
+    base: DataFrame, w: list[float], b: float
+) -> DataFrame:
+    wdf = base.sparkSession.createDataFrame(
+        [(list(w), float(b))], "wv array<double>, b double"
+    )
+    return base.crossJoin(F.broadcast(wdf))
+
+
+def hashed_logreg_train(
+    base: DataFrame,
+    dim: int = 1024,
+    lr: float = 0.5,
+    iters: int = 3,
+    prepared: bool = False,
+) -> tuple[float, list[float]]:
+    """Train the hashing-trick logistic classifier that
+    ``hashed_linear_score`` SERVES — token-count features hashed into
+    ``dim`` buckets, full-batch GD. Per iteration: the weight vector
+    rides as a 1-row broadcast (see _fold_sigmoid) into a residual scan
+    r = sigmoid(w·x) − y; the bias gradient is avg(r); the weight
+    gradient is the token explode grouped by hash bucket —
+    ∂/∂w_d = Σ_{(doc,tok): h(tok)=d} r(doc) / N, ONE shuffle of
+    ≤``dim`` partial-agg rows. The driver collects ≤``dim``+1 scalars
+    per iteration (the same bounded-collect contract as the k-means
+    trainer). ``base`` must have columns ``toks`` (array<string>) and
+    ``y`` (double 0/1)."""
+    # materialize the token projection ONCE — every iteration re-reads
+    # the stored arrays instead of re-tokenizing the corpus (measured:
+    # tokenization dominates the per-iteration scan; this is the
+    # persist-the-features step the 100 TB cost model prescribes).
+    # localCheckpoint also truncates lineage so the plan stays O(1)
+    # across iterations; block release follows the iterative-operator
+    # precedent (bench/_release_state, graph.py). Callers that already
+    # checkpointed (to share the projection with a post-training scan)
+    # pass prepared=True.
+    if not prepared:
+        base = base.localCheckpoint()
+    n_docs = float(base.count())
+    w = [0.0] * dim
+    b = 0.0
+    # one sentinel pseudo-token per document makes the bias gradient
+    # (Σ_docs r) fall out of the SAME explode→groupBy as the bucket
+    # gradients — ONE job per iteration instead of two
+    sentinel = "\x01"
+    for _ in range(iters):
+        s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), dim)
+        d = _with_weights(base, w, b).select(
+            F.concat(F.col("toks"), F.array(F.lit(sentinel))).alias(
+                "toks2"
+            ),
+            (s - F.col("y")).alias("r"),
+        )
+        grads = (
+            d.select(F.explode("toks2").alias("tk"), "r")
+            .groupBy(
+                F.when(F.col("tk") == sentinel, F.lit(-1))
+                .otherwise(hashed_dim(F.col("tk"), dim))
+                .alias("dim")
+            )
+            .agg(F.sum("r").alias("g"))
+            .collect()
+        )
+        gm = {row["dim"]: row["g"] for row in grads}
+        b = b - lr * (gm.pop(-1, 0.0) / n_docs)
+        for dim_j, g_j in gm.items():
+            w[dim_j] = w[dim_j] - lr * (g_j / n_docs)
+    return b, w
+
+
+def hashed_logreg_report(
+    spark: SparkSession,
+    base: DataFrame,
+    dim: int = 1024,
+    lr: float = 0.5,
+    iters: int = 3,
+) -> DataFrame:
+    """Train, then emit the full frozen artifact: ('bias', b), one
+    ('d<j>', w_j) row per hash bucket (untouched buckets stay exactly
+    0.0 on both engines), and the final train logloss."""
+    base = base.localCheckpoint()
+    b, w = hashed_logreg_train(
+        base, dim=dim, lr=lr, iters=iters, prepared=True
+    )
+    s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), dim)
+    y = F.col("y")
+    loss = (
+        _with_weights(base, w, b)
+        .agg(
+            F.avg(
+                -(y * F.log(s) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - s))
+            )
+        )
+        .first()[0]
+    )
+    rows = (
+        [("bias", b)]
+        + [(f"d{j}", w[j]) for j in range(dim)]
+        + [("train_logloss", float(loss))]
+    )
+    out = spark.createDataFrame(rows, "feature string, weight double")
+    return out.select("feature", F.round("weight", 6).alias("weight"))
+
+
 def roc_auc(
     scored: DataFrame, score_col: str = "score", label_col: str = "y"
 ) -> DataFrame:

@@ -6870,6 +6870,179 @@ def score_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored)
 
 
+def _hashed_sig_sql(dim: int) -> str:
+    """Sigmoid of the hashed-fold logit with CTE-held weights ``w``
+    (wv list + b bias) — textually the serving fold of
+    _hashed_scorer_oracle with the trained weights in place of the
+    frozen literal array."""
+    return (
+        "(1.0 / (1.0 + exp(-(list_reduce("
+        "list_concat([w.b], list_transform(toks, tk -> "
+        f"w.wv[('0x' || substr(md5(tk), 1, 6))::INT % {dim} + 1])), "
+        "(a, b) -> a + b)))))"
+    )
+
+
+def _hashed_logreg_prefix(
+    dim: int = 1024, lr: float = 0.5, iters: int = 3
+) -> tuple[str, str]:
+    """WITH-clause chain training the hashing-trick logreg: per
+    iteration a residual scan (d), bias gradient (bg), token-exploded
+    bucket gradients (g), the dense weight-list rebuild via
+    generate_series LEFT JOIN (wl), and the next weight row (wv).
+    Returns (clauses, final_weights_cte). Mirrors
+    operators/training.py:hashed_logreg_train arithmetic exactly;
+    cross-engine drift is aggregate summation order only."""
+    from ..operators.training import LOGREG_LABEL_SQL
+
+    sig = _hashed_sig_sql(dim)
+    parts = [
+        f"WITH t AS (SELECT {_TOKS_SQL} AS toks, {LOGREG_LABEL_SQL} AS y"
+        " FROM documents)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)",
+        f"wv0 AS (SELECT list_transform(generate_series(1, {dim}),"
+        " j -> CAST(0.0 AS DOUBLE)) AS wv, CAST(0.0 AS DOUBLE) AS b)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT toks, {sig} - y AS r"
+            f" FROM t CROSS JOIN wv{p} w)"
+        )
+        # sentinel pseudo-token chr(1): its dim=-1 group IS the bias
+        # gradient (Σ_docs r) — one grouped aggregate per iteration,
+        # mirroring the Spark loop's single job
+        parts.append(
+            f"g{i} AS (SELECT CASE WHEN tk = chr(1) THEN -1 ELSE"
+            f" ('0x' || substr(md5(tk), 1, 6))::INT % {dim} END"
+            f" AS dim, sum(r) AS g"
+            f" FROM (SELECT r, unnest(list_concat(toks, [chr(1)])) AS tk"
+            f" FROM d{i}) GROUP BY 1)"
+        )
+        parts.append(
+            f"wl{i} AS (SELECT dd.dim,"
+            f" w.wv[dd.dim + 1] - {lr!r} * (coalesce(g.g, 0.0) / nn.n) AS wj"
+            f" FROM (SELECT unnest(generate_series(0, {dim - 1})) AS dim) dd"
+            f" LEFT JOIN g{i} g USING (dim)"
+            f" CROSS JOIN wv{p} w CROSS JOIN nn)"
+        )
+        parts.append(
+            f"wv{i} AS (SELECT"
+            f" (SELECT list(wj ORDER BY dim) FROM wl{i}) AS wv,"
+            f" (SELECT w.b - {lr!r} * (coalesce("
+            f"(SELECT g FROM g{i} WHERE dim = -1), 0.0) / nn.n)"
+            f" FROM wv{p} w CROSS JOIN nn) AS b)"
+        )
+    return ",\n".join(parts), f"wv{iters}"
+
+
+def _hashed_logreg_oracle(
+    dim: int = 1024, lr: float = 0.5, iters: int = 3
+) -> str:
+    prefix, wf = _hashed_logreg_prefix(dim, lr, iters)
+    sig = _hashed_sig_sql(dim)
+    return f"""{prefix},
+    sc AS (SELECT y, {sig} AS s FROM t CROSS JOIN {wf} w),
+    loss AS (SELECT avg(-(y * ln(s) + (1.0 - y) * ln(1.0 - s))) AS v
+             FROM sc)
+    SELECT 'bias' AS feature, round(b, 6) AS weight FROM {wf}
+    UNION ALL
+    SELECT 'd' || CAST(dd.dim AS VARCHAR) AS feature,
+           round(w.wv[dd.dim + 1], 6) AS weight
+    FROM {wf} w
+    CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS dim) dd
+    UNION ALL SELECT 'train_logloss', round(v, 6) FROM loss
+    """
+
+
+@register(
+    "train_logreg_hashed",
+    _hashed_logreg_oracle(),
+    bench=True,
+    tags=["training", "hashing-trick", "gradient-descent", "fasttext-shape"],
+)
+def train_logreg_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains THE model quality_linear_score serves: the 1024-bucket
+    hashing-trick logistic classifier, full-batch GD on token-count
+    features against the 'mentions spark' weak label. Per iteration
+    (operators/training.py:hashed_logreg_train): one residual scan with
+    the weight vector as a literal array (the inference plan itself),
+    bias gradient as avg(r), bucket gradients as ONE token-explode →
+    hash-bucket groupBy shuffle of ≤1024 partial-agg rows; the driver
+    collects ≤1025 scalars per pass. Closes the loop train → freeze →
+    infer → eval: the emitted (feature, weight) rows are drop-in
+    replacements for the stand-in literals, and score_auc_trained_eval
+    grades the resulting discrimination jump. Oracle unrolls the same
+    arithmetic (dense weight-list rebuild probed: generate_series LEFT
+    JOIN + list(ORDER BY))."""
+    from ..operators.training import LOGREG_LABEL_SQL, hashed_logreg_report
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        TX.tokens(F.col("text")).alias("toks"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    )
+    return hashed_logreg_report(spark, base)
+
+
+def _auc_trained_oracle(
+    dim: int = 1024, lr: float = 0.5, iters: int = 3
+) -> str:
+    prefix, wf = _hashed_logreg_prefix(dim, lr, iters)
+    sig = _hashed_sig_sql(dim)
+    return f"""{prefix},
+    sc AS (SELECT round({sig}, 6) AS score, y FROM t CROSS JOIN {wf} w),
+    g AS (SELECT score, count(*) AS c, CAST(sum(y) AS DOUBLE) AS pos
+          FROM sc GROUP BY score),
+    r AS (SELECT pos,
+                 sum(c) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (c - 1) / 2.0 AS avg_rank,
+                 c
+          FROM g),
+    a AS (SELECT sum(pos * avg_rank) AS prs, sum(pos) AS p,
+                 CAST(sum(c) AS DOUBLE) AS n_all FROM r)
+    SELECT round((prs - p * (p + 1) / 2.0) / (p * (n_all - p)), 6) AS auc,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(n_all - p AS BIGINT) AS n_neg
+    FROM a
+    """
+
+
+@register(
+    "score_auc_trained_eval",
+    _auc_trained_oracle(),
+    tags=["eval", "roc-auc", "training", "classifier"],
+)
+def score_auc_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for the train→eval loop: ROC-AUC of the
+    just-trained hashed classifier on its training label. Where the
+    frozen md5 stand-in grades ≈0.36 (score_auc_eval — the misaligned-
+    scorer condition), three GD passes land near-perfect discrimination
+    — the 'spark' token's bucket dominates the logit. Training and the
+    rank-sum AUC both as above; the scored frame reuses the serving
+    fold with the trained weights riding as the 1-row broadcast."""
+    from ..operators.training import (
+        LOGREG_LABEL_SQL,
+        _fold_sigmoid,
+        _with_weights,
+        hashed_logreg_train,
+        roc_auc,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        TX.tokens(F.col("text")).alias("toks"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    ).localCheckpoint()
+    b, w = hashed_logreg_train(base, prepared=True)
+    s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), 1024)
+    scored = _with_weights(base, w, b).select(
+        F.round(s, 6).alias("score"), "y"
+    )
+    return roc_auc(scored)
+
+
 @register(
     "k_anonymity_audit",
     """
@@ -7853,12 +8026,16 @@ def dedup_ppjoin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simhash, langid, approx-percentile, sessionize, pivot,
 # split_train_test, chunk_documents, w5 — every swapped-out entry keeps
 # its r03 green row and its local full-parity coverage.
-# Late-session round-4 swaps (same policy, 4 more slots): the operators
+# Late-session round-4 swaps (same policy, 6 more slots): the operators
 # added after the first rotation — PPJoin exact set-similarity,
 # SymSpell edit-distance-1 join, the labeled language-ID accuracy eval,
-# and BPE pair counting — take the slots of q13, w3, text_token_counts,
-# and sample_weighted_priority, all of which hold green r03 driver rows
-# (w1 keeps the window family; text_quality keeps the text family;
+# BPE pair counting, and the model-training loop's flagship pair (the
+# hashed-classifier trainer + its trained-AUC eval; the small
+# fixed-feature twins train_logreg_gd / score_auc_eval rest on local
+# parity) — take the slots of q13, w3, text_token_counts,
+# sample_weighted_priority, text_quality, and merge_apply_orders, all
+# of which hold green r03 driver rows (w1 keeps the window family;
+# langid_accuracy_eval keeps the text family;
 # sample_stratified keeps the sampling family).
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
@@ -7891,7 +8068,7 @@ GRADED_WINDOW: list[str] = [
     "dedup_substring_spans",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
-    "text_quality",
+    "train_logreg_hashed",
     "skew_salted_agg",
     "bm25_topk",
     # ann_ivf_topk (zero-training fallback) ceded its slot to the
@@ -7904,7 +8081,7 @@ GRADED_WINDOW: list[str] = [
     "dedup_clusters",
     "tfidf_top_terms",
     "topk_parts_per_supplier",
-    "merge_apply_orders",
+    "score_auc_trained_eval",
     "bpe_pair_counts",
     "sample_stratified",
     "q9_product_profit_shape",
