@@ -122,6 +122,42 @@ def test_hashed_logreg_closes_the_loop(spark, sf_dir):
     assert trained > standin + 0.3, (trained, standin)
 
 
+def test_trained_weights_drop_into_serving_fold(spark, sf_dir):
+    """The trained artifact must be a bit-exact drop-in for the literal
+    serving fold: scoring with hashed_linear_score(trained w as plan
+    literals) equals scoring via the 1-row broadcast column path —
+    same left fold, same floats, no rounding needed."""
+    from vul_dbgen_spark.functions.text import hashed_linear_score
+    from vul_dbgen_spark.functions import text as TX
+    from vul_dbgen_spark.operators.training import (
+        LOGREG_LABEL_SQL,
+        _fold_sigmoid,
+        _with_weights,
+        hashed_logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    base = docs.select(
+        F.col("doc_id"),
+        TX.tokens(F.col("text")).alias("toks"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    ).localCheckpoint()
+    b, w = hashed_logreg_train(
+        base.select("toks", "y"), iters=2, prepared=False
+    )
+    via_literal = base.select(
+        "doc_id", hashed_linear_score(F.col("toks"), w, b).alias("s")
+    )
+    via_column = _with_weights(base, w, b).select(
+        "doc_id",
+        _fold_sigmoid(
+            F.col("wv"), F.col("b"), F.col("toks"), 1024
+        ).alias("s"),
+    )
+    assert via_literal.exceptAll(via_column).count() == 0
+    assert via_column.exceptAll(via_literal).count() == 0
+
+
 def test_hashed_logreg_rerun_stable(spark, sf_dir):
     from vul_dbgen_spark.functions import text as TX
     from vul_dbgen_spark.operators.training import (
