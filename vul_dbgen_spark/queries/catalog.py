@@ -7043,6 +7043,66 @@ def score_auc_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(scored)
 
 
+def _score_calibration_oracle() -> str:
+    from ..functions.text import HASHED_SCORER_DIM, hashed_scorer_weights
+    from ..operators.training import LOGREG_LABEL_SQL
+
+    wv = ", ".join(repr(x) for x in hashed_scorer_weights())
+    return f"""
+    WITH w AS (SELECT [{wv}] AS wv),
+    t AS (SELECT text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT round(1.0 / (1.0 + exp(-(list_reduce(
+               list_concat([CAST(0.0 AS DOUBLE)],
+                 list_transform(toks, tk ->
+                   wv[('0x' || substr(md5(tk), 1, 6))::INT % {HASHED_SCORER_DIM} + 1])),
+               (a, b) -> a + b)))), 6) AS score,
+               {LOGREG_LABEL_SQL} AS y
+        FROM t CROSS JOIN w)
+    SELECT CAST(least(floor(score * 10.0), 9.0) AS INT) AS bin,
+           count(*) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(y), 6) AS pos_rate
+    FROM s
+    GROUP BY 1
+    """
+
+
+@register(
+    "score_calibration_eval",
+    _score_calibration_oracle(),
+    tags=["eval", "calibration", "reliability-diagram", "classifier"],
+)
+def score_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the frozen hashed scorer: decile bins of
+    predicted probability vs observed positive rate — AUC's standard
+    companion (AUC measures ranking, calibration measures whether 0.8
+    MEANS 80%; a score can ace one and fail the other). ONE map-side-
+    combinable aggregate over the scored scan — bins are a pure column
+    expression, so the full-corpus version costs the same single pass
+    at 100 TB. Downstream, |mean_score − pos_rate| per bin weighted by
+    n is ECE; emitting the bins keeps the diagnostic shape."""
+    from ..functions.text import hashed_linear_score, hashed_scorer_weights
+    from ..operators.training import LOGREG_LABEL_SQL
+
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scored = docs.select(
+        F.round(
+            hashed_linear_score(toks, hashed_scorer_weights()), 6
+        ).alias("score"),
+        F.expr(LOGREG_LABEL_SQL).alias("y"),
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("score") * 10.0), F.lit(9.0))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("y"), 6).alias("pos_rate"),
+    )
+
+
 @register(
     "k_anonymity_audit",
     """
