@@ -199,7 +199,9 @@ def hashed_logreg_train(
     b = 0.0
     # one sentinel pseudo-token per document makes the bias gradient
     # (Σ_docs r) fall out of the SAME explode→groupBy as the bucket
-    # gradients — ONE job per iteration instead of two
+    # gradients — ONE job per iteration instead of two. Callers' token
+    # arrays must not contain chr(1); functions/text.py:tokens emits
+    # [a-z0-9]+ only, so the catalog entries can't collide
     sentinel = "\x01"
     for _ in range(iters):
         s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), dim)
