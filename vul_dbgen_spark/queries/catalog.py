@@ -8063,6 +8063,114 @@ def dedup_ppjoin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_pairs(t, "doc_id", "toks", num=19, den=20)
 
 
+_BPE_MERGES = 10
+
+
+def _bpe_oracle_prefix(k: int = _BPE_MERGES) -> str:
+    """Unrolled-round CTE chain mirroring operators/bpe.py:bpe_train —
+    the same oracle-generation strategy as the logreg trainer's
+    ``_hashed_logreg_prefix``. Round i: weighted pair counts from
+    s{i-1}, deterministic argmax m{i}, and the greedy left-to-right
+    merge fold applied via ``list_reduce`` over a space-joined symbol
+    string (symbols never contain spaces — END_MARK precondition in
+    operators/bpe.py). Returns CTE text ending at s{k}."""
+    parts = [
+        f"t AS (SELECT {_TOKS_SQL} AS toks FROM documents)",
+        "w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n"
+        " FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok)",
+        "s0 AS (SELECT word, n,"
+        " list_append([substr(word, i, 1)"
+        " for i in generate_series(1, len(word))], '</w>') AS sym FROM w)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"p{i} AS (SELECT pr.a AS a, pr.b AS b,"
+            f" CAST(sum(n) AS BIGINT) AS cnt FROM"
+            f" (SELECT n, unnest([{{'a': sym[j], 'b': sym[j+1]}}"
+            f" for j in generate_series(1, len(sym) - 1)]) AS pr"
+            f" FROM s{p}) GROUP BY pr.a, pr.b)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT a, b, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT word, n, string_split(list_reduce(sym,"
+            f" (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$') = m.a"
+            f" AND x = m.b"
+            f" THEN regexp_replace(acc, '[^ ]+$', '') || m.a || m.b"
+            f" ELSE acc || ' ' || x END), ' ') AS sym"
+            f" FROM s{p} CROSS JOIN m{i} m)"
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(k: int = _BPE_MERGES) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_n"
+        f" FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {_bpe_oracle_prefix(k)}\n    {rows}\n    ORDER BY merge_rank"
+
+
+@register(
+    "train_bpe_merges",
+    _bpe_merges_oracle(),
+    bench=True,
+    tags=["text", "bpe", "tokenizer", "training"],
+)
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains a BPE tokenizer in-engine: the first 10 merge rules over
+    the corpus, learned by the classic word-frequency-dictionary
+    algorithm (Sennrich+ ACL'16) — the loop whose inner statistic
+    ``bpe_pair_counts`` grades. ONE corpus scan builds the word dict;
+    every training round then touches only the dictionary (orders of
+    magnitude smaller than the corpus at 100 TB): a map-side-combinable
+    weighted pair count, a 1-row argmax collect, and a pure-codegen
+    fold applying the merge (operators/bpe.py — no UDFs). Output is
+    the merge table itself, deterministic under the (count desc, pair
+    asc) tie order; the oracle unrolls the same 10 rounds as CTEs with
+    the fold mirrored via list_reduce."""
+    from ..operators.bpe import bpe_train, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    words = word_counts(docs.select(TX.tokens("text").alias("toks")))
+    merges, _ = bpe_train(words, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, lhs STRING, rhs STRING, pair_n BIGINT"
+    ).orderBy("merge_rank")
+
+
+@register(
+    "bpe_compression_eval",
+    f"""WITH {_bpe_oracle_prefix()}
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(n * (len(word) + 1)) AS BIGINT) AS syms_before,
+           CAST(sum(n * len(sym)) AS BIGINT) AS syms_after,
+           round(CAST(sum(n * (len(word) + 1)) AS DOUBLE)
+                 / CAST(sum(n * len(sym)) AS DOUBLE), 6) AS compression
+    FROM s{_BPE_MERGES}
+    """,
+    tags=["text", "bpe", "tokenizer", "eval"],
+)
+def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff measurement for the BPE trainer (the analog of
+    score_auc_trained_eval for the classifier loop): corpus-weighted
+    symbol counts before (chars + end marker) vs after the 10 learned
+    merges, and their ratio — the compression a tokenizer exists to
+    buy. One aggregate over the trained dictionary; integer-exact on
+    both engines except the final rounded division."""
+    from ..operators.bpe import bpe_train, compression_summary, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    words = word_counts(docs.select(TX.tokens("text").alias("toks")))
+    _, syms = bpe_train(words, _BPE_MERGES)
+    return compression_summary(syms)
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
