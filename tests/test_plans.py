@@ -162,6 +162,14 @@ CARTESIAN_ALLOWED = {
     # ann_recall_eval's shape: broadcast 10-query ground-truth pass ×
     # one corpus scan, plus the PQ side's broadcast query × encoded scan
     "ann_pq_recall_eval",
+    # 1-row trained (bias, weights) broadcast into the serving-fold
+    # scan — the same broadcast-scalars shape as the k-means
+    # assignment step; training itself collects ≤1025 scalars/pass
+    "score_auc_trained_eval",
+    # tfidf shape: 1-row (target-total, raw-total) scalar broadcast
+    # into the ≤1024-row bucket log-ratio table; the per-doc scoring
+    # join is a broadcast equi-join on bucket
+    "dsir_importance_topk",
 }
 
 

@@ -220,3 +220,30 @@ def test_priority_sample_per_stratum_caps_and_agrees_with_global(spark):
     }
     strat = {r.doc_id for r in out.filter(F.col("source") == src).collect()}
     assert only == strat
+
+
+def test_shard_assignment_stable_and_partitioning_invariant(spark):
+    """Shard/sort-key assignment is a pure function of the key: the
+    layout survives repartitioning, rerun, and appends (existing rows
+    keep their shard when new rows arrive)."""
+    from vul_dbgen_spark.operators.sampling import shard_assignment
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    shard, key = shard_assignment("doc_id", 8)
+
+    def layout(df):
+        return {
+            r.doc_id: (r.shard, r.k)
+            for r in df.select(
+                "doc_id", shard.alias("shard"), key.alias("k")
+            ).collect()
+        }
+
+    base = layout(d)
+    assert layout(d.repartition(13)) == base
+    assert set(s for s, _ in base.values()) <= set(range(8))
+    # append-stability: assignment over a subset matches the full corpus
+    half = layout(d.limit(100))
+    assert all(base[i] == v for i, v in half.items())
+    # sort key is unique (md5 of distinct ids) → within-shard order total
+    assert len({k for _, k in base.values()}) == len(base)

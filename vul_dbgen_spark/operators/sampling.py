@@ -219,3 +219,27 @@ def sqrt_cap_sample(
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_dom", "_quota", "_rk")
     )
+
+
+def shard_assignment(
+    key: Column | str, n_shards: int
+) -> tuple[Column, Column]:
+    """Deterministic training-shard assignment: returns the (shard,
+    sort_key) column pair of the global pseudo-shuffle a training-data
+    export needs. shard = md5(key) mod n_shards; sort_key = the md5
+    digest itself, so ordering within a shard is a stable pseudo-random
+    permutation of the corpus — decorrelated from ingest order, which
+    is what shuffled training shards exist for.
+
+    Like every sampler in this module: hash-derived, no RNG state — a
+    rerun, a retry, or a different input partitioning produces the
+    SAME shard layout, and appending new documents never moves an
+    existing one (per-key assignment). The writer shape at 100 TB is
+    ``df.repartitionByRange(n_shards, shard, sort_key)`` +
+    ``sortWithinPartitions(sort_key)`` + a partitioned write: exactly
+    one shuffle, and range partitioning on the uniform md5 key gives
+    even shard sizes without a skew pass."""
+    key = F.col(key) if isinstance(key, str) else key
+    sort_key = F.md5(key.cast("string"))
+    shard = F.conv(F.substring(sort_key, 1, 6), 16, 10).cast("int") % n_shards
+    return shard, sort_key

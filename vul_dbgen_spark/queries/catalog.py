@@ -8171,6 +8171,162 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_summary(syms)
 
 
+_DSIR_DIM = 1024
+# same 24-bit md5 bucket, engine-specific spelling (the equivalence is
+# the one the hashed-scorer family grades on): DuckDB hex-literal cast
+# vs Spark conv(,16,10)
+_DSIR_BUCKET = "('0x' || substr(md5(tok), 1, 6))::INT % {dim}"
+_DSIR_BUCKET_SPARK = (
+    "cast(conv(substr(md5(tok), 1, 6), 16, 10) as int) % {dim}"
+)
+
+
+@register(
+    "dsir_importance_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok
+                 FROM documents),
+    b AS (SELECT doc_id, lang,
+                 {_DSIR_BUCKET.format(dim=_DSIR_DIM)} AS bucket FROM tok),
+    cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM b
+           GROUP BY bucket),
+    ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b
+           WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(coalesce((SELECT sum(ct) FROM ct), 0) AS BIGINT)
+                     AS tt
+            FROM cr),
+    lr AS (SELECT cr.bucket,
+                  CAST(round(
+                      ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + {_DSIR_DIM}))
+                      - ln((cr.cr + 1.0) / (tot.tr + {_DSIR_DIM})), 6)
+                    AS DECIMAL(18, 6)) AS lr
+           FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot),
+    w AS (SELECT b.doc_id, b.lang,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lr.lr) AS DOUBLE) AS weight
+          FROM b JOIN lr ON b.bucket = lr.bucket
+          GROUP BY b.doc_id, b.lang)
+    SELECT doc_id, lang, n_tokens, weight
+    FROM w ORDER BY weight DESC, doc_id ASC LIMIT 20
+    """,
+    tags=["curation", "data-selection", "dsir", "importance-sampling"],
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie+ NeurIPS'23) on
+    hashed unigram features: score every raw document by how much more
+    likely its tokens are under the TARGET distribution (here the
+    labeled-'en' slice — the usual 'looks like my high-quality corpus'
+    stand-in) than under the raw pool, log w(d) = Σ_tok ln
+    p̂_tgt[h(tok)] / p̂_raw[h(tok)] with add-1 smoothing over
+    1024 md5 buckets (the same engine-mirrorable hash as the
+    quality-classifier family). The top-weighted docs are what DSIR
+    keeps for training.
+
+    Physical shape at 100 TB: ONE token explode feeds two map-side-
+    combinable bucket counts (≤1024 rows each — the 'model' is a
+    kilobyte, learned and applied in the same plan); per-doc scoring
+    re-joins the explode against the broadcast log-ratio table and
+    sums per doc_id. Bucket log-ratios are rounded to 6dp and summed
+    as DECIMAL(18,6) — the repo's decimal-exact trick — so per-doc
+    weights are bit-identical under any partitioning/engine and the
+    top-k rank is deterministic (ties broken by doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("tok")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        F.expr(_DSIR_BUCKET_SPARK.format(dim=_DSIR_DIM)).alias("bucket"),
+    )
+    cr = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = cr.agg(F.sum("cr").alias("tr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lr = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(_DSIR_DIM))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(_DSIR_DIM))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    w = (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").cast("double").alias("weight"),
+        )
+    )
+    return w.select("doc_id", "lang", "n_tokens", "weight").orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+@register(
+    "export_shard_stats",
+    """
+    WITH a AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k
+               FROM documents),
+    s AS (SELECT doc_id, n_chars, k,
+                 ('0x' || substr(k, 1, 6))::INT % 8 AS shard FROM a)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, k) AS first_doc,
+           arg_max(doc_id, k) AS last_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=["export", "sharding", "global-shuffle", "curation"],
+)
+def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a curation pipeline: write the corpus as N
+    deterministically-shuffled training shards. Assignment via
+    operators/sampling.py:shard_assignment — shard = md5(doc_id) mod 8,
+    within-shard order = the md5 digest itself, a stable pseudo-random
+    permutation decorrelated from ingest order, rerun-stable with no
+    RNG state, and append-stable (new docs never move existing ones).
+    The writer at 100 TB is repartitionByRange(shard, key) +
+    sortWithinPartitions — ONE shuffle, even shard sizes from the
+    uniform hash key. Graded here as the per-shard manifest the export
+    would emit: doc count, byte mass, and the hash-order first/last
+    doc per shard (min_by/max_by on the unique md5 key — exact,
+    aggregate-only, no window)."""
+    from ..operators.sampling import shard_assignment
+
+    docs = load(spark, sf_dir, "documents")
+    shard, key = shard_assignment("doc_id", 8)
+    s = docs.select("doc_id", "n_chars", shard.alias("shard"), key.alias("k"))
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", "k").alias("first_doc"),
+            F.max_by("doc_id", "k").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public surface
 # ---------------------------------------------------------------------------
