@@ -8171,6 +8171,37 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_summary(syms)
 
 
+@register(
+    "bpe_vocab_counts",
+    f"""WITH {_bpe_oracle_prefix()}
+    SELECT s AS symbol, CAST(sum(n) AS BIGINT) AS n
+    FROM (SELECT n, unnest(sym) AS s FROM s{_BPE_MERGES})
+    GROUP BY s ORDER BY n DESC, symbol ASC LIMIT 20
+    """,
+    tags=["text", "bpe", "tokenizer", "vocab"],
+)
+def bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted symbol frequencies under the TRAINED tokenizer —
+    what the vocabulary actually gets used for after the 10 merges
+    (learned multi-char units displace their constituent chars from
+    the top ranks). One explode of the trained dictionary weighted by
+    word counts; at 100 TB this never rescans the corpus — segmenting
+    IS a dictionary join, which is the point of training on the word
+    dict in the first place."""
+    from ..operators.bpe import bpe_train, word_counts
+
+    docs = load(spark, sf_dir, "documents")
+    words = word_counts(docs.select(TX.tokens("text").alias("toks")))
+    _, syms = bpe_train(words, _BPE_MERGES)
+    return (
+        syms.select("n", F.explode("sym").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(20)
+    )
+
+
 _DSIR_DIM = 1024
 # same 24-bit md5 bucket, engine-specific spelling (the equivalence is
 # the one the hashed-scorer family grades on): DuckDB hex-literal cast
@@ -8386,10 +8417,17 @@ GRADED_WINDOW: list[str] = [
     "langid_accuracy_eval",
     # q17 (scalar-subquery threshold) ceded its slot: q22/q11 grade the
     # identical shape in the local full-parity artifact
-    "dedup_exact",
+    # Final round-4 rotation: the session's three new flagship families
+    # take the slots of three r03-driver-green entries whose families
+    # keep other window representatives — dedup_exact and
+    # dedup_substring_spans ceded to the BPE trainer and DSIR selection
+    # (dedup keeps ngram_capped/minhash_capped/incremental/clusters/
+    # embedding_lsh/ppjoin in-window), tfidf_top_terms ceded to the
+    # shard-export manifest (bm25_topk keeps lexical ranking graded)
+    "train_bpe_merges",
     "dedup_ngram_jaccard_capped",
     "decontaminate_eval",
-    "dedup_substring_spans",
+    "dsir_importance_topk",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
     "train_logreg_hashed",
@@ -8403,7 +8441,7 @@ GRADED_WINDOW: list[str] = [
     "dedup_embedding_lsh",
     "range_join_ship_window",
     "dedup_clusters",
-    "tfidf_top_terms",
+    "export_shard_stats",
     "topk_parts_per_supplier",
     "score_auc_trained_eval",
     "bpe_pair_counts",
