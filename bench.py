@@ -204,6 +204,14 @@ def main() -> None:
             "dedup_minhash_lsh_pairs_capped", "dedup_substring_spans",
             "ann_pq_adc_topk", "graph_khop_reach", "graph_triangle_stats",
             "train_logreg_gd", "score_auc_eval", "train_logreg_hashed",
+            # tokenizer training: the slope claim is that merge rounds
+            # cost O(dict), not O(corpus) — the word dict grows far
+            # slower than 10x on replicated shards, so the ratio should
+            # be dominated by the single dict-building corpus scan
+            "train_bpe_merges",
+            # DSIR: one explode feeding two ≤1024-row bucket counts +
+            # a broadcast re-join — expected ~linear in token volume
+            "dsir_importance_topk",
         ]
         # fuzzy_pairs_hamming is deliberately NOT in the sf1 list, for
         # the same Θ(n²)-by-problem-statement reason as the ngram pair
