@@ -8219,20 +8219,18 @@ _DSIR_BUCKET_SPARK = (
                  FROM documents),
     b AS (SELECT doc_id, lang,
                  {_DSIR_BUCKET.format(dim=_DSIR_DIM)} AS bucket FROM tok),
-    cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM b
-           GROUP BY bucket),
-    ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b
-           WHERE lang = 'en' GROUP BY bucket),
+    c AS (SELECT bucket,
+                 CAST(count(*) AS BIGINT) AS cr,
+                 CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+          FROM b GROUP BY bucket),
     tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-                   CAST(coalesce((SELECT sum(ct) FROM ct), 0) AS BIGINT)
-                     AS tt
-            FROM cr),
-    lr AS (SELECT cr.bucket,
+                   CAST(sum(ct) AS BIGINT) AS tt FROM c),
+    lr AS (SELECT c.bucket,
                   CAST(round(
-                      ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + {_DSIR_DIM}))
-                      - ln((cr.cr + 1.0) / (tot.tr + {_DSIR_DIM})), 6)
+                      ln((c.ct + 1.0) / (tot.tt + {_DSIR_DIM}))
+                      - ln((c.cr + 1.0) / (tot.tr + {_DSIR_DIM})), 6)
                     AS DECIMAL(18, 6)) AS lr
-           FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket CROSS JOIN tot),
+           FROM c CROSS JOIN tot),
     w AS (SELECT b.doc_id, b.lang,
                  CAST(count(*) AS BIGINT) AS n_tokens,
                  CAST(sum(lr.lr) AS DOUBLE) AS weight
@@ -8254,9 +8252,11 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-classifier family). The top-weighted docs are what DSIR
     keeps for training.
 
-    Physical shape at 100 TB: ONE token explode feeds two map-side-
-    combinable bucket counts (≤1024 rows each — the 'model' is a
-    kilobyte, learned and applied in the same plan); per-doc scoring
+    Physical shape at 100 TB: ONE token explode feeds ONE map-side-
+    combinable aggregate carrying both the raw and the conditional
+    target count (≤1024 rows — the 'model' is a kilobyte, learned and
+    applied in the same plan, and the corpus is scanned exactly twice:
+    once to learn the ratios, once to score); per-doc scoring
     re-joins the explode against the broadcast log-ratio table and
     sums per doc_id. Bucket log-ratios are rounded to 6dp and summed
     as DECIMAL(18,6) — the repo's decimal-exact trick — so per-doc
@@ -8271,33 +8271,25 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(_DSIR_BUCKET_SPARK.format(dim=_DSIR_DIM)).alias("bucket"),
     )
-    cr = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (
-        b.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # raw and target bucket counts in ONE map-side-combinable aggregate
+    # (count + conditional count share the scan); totals derive from the
+    # ≤1024-row count table, never a second corpus pass
+    c = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("lang") == "en").alias("ct"),
     )
-    tot = cr.agg(F.sum("cr").alias("tr")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-    )
-    lr = (
-        cr.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tt") + F.lit(_DSIR_DIM))
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(_DSIR_DIM))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
+    tot = c.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lr = c.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(_DSIR_DIM)))
+            - F.log(
+                (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(_DSIR_DIM))
+            ),
+            6,
         )
+        .cast("decimal(18,6)")
+        .alias("lr"),
     )
     w = (
         b.join(F.broadcast(lr), "bucket")
