@@ -170,6 +170,10 @@ CARTESIAN_ALLOWED = {
     # into the ≤1024-row bucket log-ratio table; the per-doc scoring
     # join is a broadcast equi-join on bucket
     "dsir_importance_topk",
+    # centroid_assign_confusion's shape: broadcast 8-row centroid
+    # table × one vector scan (the final Lloyd assignment pass) —
+    # linear in corpus, k-bounded fan-out
+    "train_kmeans_lloyd",
 }
 
 

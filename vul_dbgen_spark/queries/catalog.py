@@ -8202,6 +8202,93 @@ def bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd rounds mirroring operators/kmeans.py — integer-
+    exact by the same micro-unit construction, so the mirror needs no
+    rounding tolerance anywhere: quantization round-then-cast, int64
+    d2 polynomial, exact sums, one deterministic rounding per mean."""
+    from ..operators.kmeans import (
+        KMEANS_DIM,
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        dist2_sql,
+    )
+
+    d = KMEANS_DIM
+    parts = [
+        f"q AS (SELECT vec_id,"
+        f" [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        f" for i in generate_series(1, {d})] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" v AS c FROM (SELECT vec_id, v FROM q ORDER BY vec_id"
+        f" LIMIT {KMEANS_K}))",
+    ]
+    poly = dist2_sql("q.v", "c.c", spark=False)
+    for r in range(1, KMEANS_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"a{r} AS (SELECT vec_id, v, cid, d2 FROM"
+            f" (SELECT vec_id, v, cid, d2, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM"
+            f" (SELECT q.vec_id, q.v, c.cid, {poly} AS d2"
+            f" FROM q CROSS JOIN c{p} c)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT cid, u.pos AS pos,"
+            f" CAST(round(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT)"
+            f" AS m FROM (SELECT cid,"
+            f" unnest([{{'pos': i, 'val': v[i]}}"
+            f" for i in generate_series(1, {d})]) AS u FROM a{r})"
+            f" GROUP BY cid, u.pos)"
+        )
+        parts.append(
+            f"n{r} AS (SELECT cid, list(m ORDER BY pos) AS c FROM m{r}"
+            f" GROUP BY cid)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT p.cid, coalesce(n.c, p.c) AS c"
+            f" FROM c{p} p LEFT JOIN n{r} n ON p.cid = n.cid)"
+        )
+    R = KMEANS_ROUNDS
+    chain = ",\n    ".join(parts)
+    return f"""WITH {chain},
+    st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(d2) AS BIGINT) AS inertia
+           FROM a{R} GROUP BY cid)
+    SELECT c.cid,
+           CAST(coalesce(st.n_points, 0) AS BIGINT) AS n_points,
+           CAST(coalesce(st.inertia, 0) AS BIGINT) AS inertia,
+           CAST(list_reduce(c.c, (acc, x) -> acc + x) AS BIGINT) AS c_sum
+    FROM c{R} c LEFT JOIN st ON c.cid = st.cid ORDER BY c.cid
+    """
+
+
+@register(
+    "train_kmeans_lloyd",
+    _kmeans_oracle(),
+    bench=True,
+    tags=["training", "kmeans", "clustering", "ann", "integer-exact"],
+)
+def train_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means trained IN-ENGINE, bit-exact by integer
+    construction (operators/kmeans.py) — the complementary statement
+    to the frozen pyspark.ml centroid artifact, whose docstring
+    records WHY ml.KMeans can't be hash-graded (fp summation order
+    varies with partitioning). Components quantize once to int64
+    micro-units; distances are exact integer polynomials (argmin ties
+    are real ties, broken by cid identically everywhere); means are
+    exact integer sums with one deterministic rounding each. Plan
+    shape per round: broadcast k×64-int centroids → map-side argmin →
+    ONE map-side-combinable (cid, dim) sum of ≤ k·64 rows. Graded as
+    the per-cluster report: population, exact inertia, centroid
+    component-sum fingerprint."""
+    from ..operators.kmeans import kmeans_report, kmeans_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cent = kmeans_train(emb.select("vec_id", "embedding"))
+    return kmeans_report(assigned, cent)
+
+
 _DSIR_DIM = 1024
 # same 24-bit md5 bucket, engine-specific spelling (the equivalence is
 # the one the hashed-scorer family grades on): DuckDB hex-literal cast
