@@ -92,6 +92,17 @@ def test_capped_jaccard_hot_gram_antijoin_is_broadcast(spark):
     assert "LeftAnti" in plan
 
 
+def test_semdedup_pair_join_is_cid_equijoin(spark):
+    # the within-cluster pair join is SemDeDup's whole scale contract:
+    # it must hash/merge on cid — its only BNLJ markers are the two
+    # allowlisted broadcast-centroid Lloyd assignment passes (k rows),
+    # never a pair-side cartesian
+    plan = _plan(C.semdedup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     # codegen spans only appear once AQE finalizes the plan → execute first
     df = C.q1_pricing_summary(spark, SF)
@@ -174,6 +185,11 @@ CARTESIAN_ALLOWED = {
     # table × one vector scan (the final Lloyd assignment pass) —
     # linear in corpus, k-bounded fan-out
     "train_kmeans_lloyd",
+    # same Lloyd assignment passes feed these compositions; the
+    # SemDeDup pair join itself is an equi-join on cid (pinned below)
+    "semdedup_pairs",
+    "semdedup_keep",
+    "cluster_prototypes_topk",
 }
 
 

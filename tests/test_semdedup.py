@@ -1,0 +1,103 @@
+"""Unit tests for the SemDeDup / prototype compositions on the
+integer-exact k-means trainer (operators/kmeans.py). Oracle parity is
+covered by the full-parity suite; these pin the semantic properties:
+pair containment in clusters, the integer cosine test agreeing with
+float cosine away from the boundary, keep/drop bookkeeping, prototype
+ranking, and partitioning invariance of all three outputs."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from vul_dbgen_spark.operators.kmeans import (
+    kmeans_train,
+    prototypes_topk,
+    semdedup_keep,
+    semdedup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _assigned(spark, repart=None):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    if repart:
+        emb = emb.repartition(repart)
+    a, _ = kmeans_train(emb)
+    return a
+
+
+def test_pairs_within_cluster_ordered_and_match_float_cosine(spark):
+    a = _assigned(spark)
+    cid_of = {r.vec_id: r.cid for r in a.select("vec_id", "cid").collect()}
+    vecs = {r.vec_id: r.v for r in a.select("vec_id", "v").collect()}
+    pairs = semdedup_pairs(a).collect()
+    assert pairs, "no qualifying pairs at sf0.001 — threshold too tight"
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert cid_of[r.id_a] == r.cid and cid_of[r.id_b] == r.cid
+        va, vb = vecs[r.id_a], vecs[r.id_b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        assert dot == r.dot_uu  # the graded dot is the exact integer dot
+        cos = dot / math.sqrt(
+            sum(x * x for x in va) * sum(y * y for y in vb)
+        )
+        assert cos >= 0.4 - 1e-12
+
+    # completeness: every same-cluster pair with float cosine clearly
+    # above threshold is in the result (exact rational test can only
+    # disagree with float inside an ULP boundary band)
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ids = sorted(vecs)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            if cid_of[x] != cid_of[y]:
+                continue
+            dot = sum(p * q for p, q in zip(vecs[x], vecs[y]))
+            if dot <= 0:
+                continue
+            cos = dot / math.sqrt(
+                sum(p * p for p in vecs[x]) * sum(q * q for q in vecs[y])
+            )
+            if cos > 0.4 + 1e-9:
+                assert (x, y) in got
+
+
+def test_keep_flags_mirror_pairs(spark):
+    a = _assigned(spark)
+    dropped_expect = {r.id_b for r in semdedup_pairs(a).collect()}
+    keep = semdedup_keep(a).collect()
+    assert len(keep) == a.count()
+    for r in keep:
+        assert r.kept == (r.vec_id not in dropped_expect)
+    assert any(not r.kept for r in keep)
+
+
+def test_prototypes_rank_by_d2(spark):
+    a = _assigned(spark)
+    best = {}
+    for r in a.select("cid", "vec_id", "d2").collect():
+        best.setdefault(r.cid, []).append((r.d2, r.vec_id))
+    protos = prototypes_topk(a, m=3).collect()
+    by_cid = {}
+    for r in protos:
+        by_cid.setdefault(r.cid, []).append((r.rnk, r.vec_id, r.d2))
+    for cid, rows in by_cid.items():
+        rows.sort()
+        want = sorted(best[cid])[: len(rows)]
+        assert [(v, d) for _, v, d in rows] == [(v, d) for d, v in want]
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_all_three_partitioning_invariant(spark):
+    a1, a2 = _assigned(spark), _assigned(spark, repart=13)
+    for fn in (
+        lambda a: semdedup_pairs(a),
+        lambda a: semdedup_keep(a),
+        lambda a: prototypes_topk(a),
+    ):
+        r1 = sorted(tuple(r) for r in fn(a1).collect())
+        r2 = sorted(tuple(r) for r in fn(a2).collect())
+        assert r1 == r2

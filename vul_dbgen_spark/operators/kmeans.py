@@ -140,6 +140,109 @@ def kmeans_train(
     return assigned, cent
 
 
+def dot_sql(a: str, b: str, dim: int = KMEANS_DIM, spark: bool = True) -> str:
+    """Exact integer dot product over micro-unit vectors as a
+    left-associated sum — max |term| ~(2e6)², 64 terms ≪ 2^63, so the
+    int64 sum is exact and order-free on both engines."""
+    if spark:
+        term = "(element_at({a}, {i}) * element_at({b}, {i}))"
+    else:
+        term = "({a}[{i}] * {b}[{i}])"
+    return " + ".join(term.format(a=a, b=b, i=i) for i in range(1, dim + 1))
+
+
+def semdedup_pairs(
+    assigned: DataFrame,
+    dim: int = KMEANS_DIM,
+    tau2_num: int = 4,
+    tau2_den: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate pass: semantic
+    near-duplicate pairs WITHIN each k-means cluster — the clustering
+    bounds the quadratic term to per-cluster sizes, which is the whole
+    scale contract (at 100 TB, k grows with n so |cluster| stays
+    bounded; cross-cluster pairs are sacrificed by design, exactly as
+    in the paper).
+
+    The cosine test is integer-exact: cos(a,b) >= τ with τ² =
+    tau2_num/tau2_den (default 4/25, i.e. τ = 0.4 — the same threshold
+    as the graded float-cosine family) becomes
+
+        dot > 0  AND  tau2_den·dot² >= tau2_num·‖a‖²·‖b‖²
+
+    over micro-unit int64s, evaluated in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB): dot ≤ 64·(2e6)² ≈ 2.6e14, so the three-factor
+    products stay ≤ ~1e30 ≪ 10³⁸ — exact on both engines, no float
+    anywhere, hence hash-gradeable. The dot > 0 guard keeps
+    anti-parallel vectors (negative cosine, positive square) out."""
+    base = assigned.select("cid", "vec_id", "v").withColumn(
+        "n2", F.expr(dot_sql("v", "v", dim))
+    )
+    x = base.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("n2a"),
+    )
+    y = base.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"),
+    )
+    j = (
+        x.join(y, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot_uu", F.expr(dot_sql("va", "vb", dim)))
+    )
+    cond = F.expr(
+        f"dot_uu > 0 AND CAST({tau2_den} AS DECIMAL(38,0))"
+        " * CAST(dot_uu AS DECIMAL(38,0)) * CAST(dot_uu AS DECIMAL(38,0))"
+        f" >= CAST({tau2_num} AS DECIMAL(38,0))"
+        " * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))"
+    )
+    return j.filter(cond).select("cid", "id_a", "id_b", "dot_uu")
+
+
+def semdedup_keep(
+    assigned: DataFrame,
+    dim: int = KMEANS_DIM,
+    tau2_num: int = 4,
+    tau2_den: int = 25,
+) -> DataFrame:
+    """Per-vector keep decision under the greedy keep-first policy: a
+    vector is dropped iff it has a qualifying within-cluster neighbor
+    with a SMALLER vec_id (i.e. it appears as id_b in semdedup_pairs).
+    Deterministic and one-pass SQL-expressible; the exact
+    one-per-connected-component variant is the separately graded CC
+    family (operators/graph.py) — this is the screen you'd run at
+    100 TB, where chasing CC chains across a pair list is a second job."""
+    dropped = (
+        semdedup_pairs(assigned, dim, tau2_num, tau2_den)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("kept", F.lit(False))
+    )
+    return assigned.select("vec_id", "cid").join(dropped, "vec_id", "left").select(
+        "vec_id", "cid", F.coalesce("kept", F.lit(True)).alias("kept")
+    )
+
+
+def prototypes_topk(assigned: DataFrame, m: int = 3) -> DataFrame:
+    """SSL-prototype selection (Sorscher et al. 2022 data-pruning
+    shape): the m most prototypical vectors per cluster — smallest
+    exact integer d2 to the final centroid, vec_id tie-break. The
+    window partitions by cid, so no global sort; per-cluster state is
+    the top-m heap."""
+    w = Window.partitionBy("cid").orderBy("d2", "vec_id")
+    return (
+        assigned.select("cid", "vec_id", "d2")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("cid", "rnk", "vec_id", "d2")
+    )
+
+
 def kmeans_report(assigned: DataFrame, cent: DataFrame) -> DataFrame:
     """Graded per-cluster summary: population, exact integer inertia
     (sum of assignment d2 — the statistic Lloyd descends), and the

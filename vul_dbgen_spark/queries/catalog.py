@@ -8202,11 +8202,14 @@ def bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd rounds mirroring operators/kmeans.py — integer-
-    exact by the same micro-unit construction, so the mirror needs no
-    rounding tolerance anywhere: quantization round-then-cast, int64
-    d2 polynomial, exact sums, one deterministic rounding per mean."""
+def _kmeans_ctes() -> tuple[str, str, str]:
+    """Shared unrolled-Lloyd CTE chain mirroring operators/kmeans.py —
+    integer-exact by the same micro-unit construction, so every mirror
+    built on it needs no rounding tolerance anywhere: quantization
+    round-then-cast, int64 d2 polynomial, exact sums, one deterministic
+    rounding per mean. Returns (chain, final_assign_cte,
+    final_centroid_cte); the kmeans report, SemDeDup, and prototype
+    oracles all start from the same chain."""
     from ..operators.kmeans import (
         KMEANS_DIM,
         KMEANS_K,
@@ -8250,16 +8253,20 @@ def _kmeans_oracle() -> str:
             f" FROM c{p} p LEFT JOIN n{r} n ON p.cid = n.cid)"
         )
     R = KMEANS_ROUNDS
-    chain = ",\n    ".join(parts)
+    return ",\n    ".join(parts), f"a{R}", f"c{R}"
+
+
+def _kmeans_oracle() -> str:
+    chain, aR, cR = _kmeans_ctes()
     return f"""WITH {chain},
     st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
                   CAST(sum(d2) AS BIGINT) AS inertia
-           FROM a{R} GROUP BY cid)
+           FROM {aR} GROUP BY cid)
     SELECT c.cid,
            CAST(coalesce(st.n_points, 0) AS BIGINT) AS n_points,
            CAST(coalesce(st.inertia, 0) AS BIGINT) AS inertia,
            CAST(list_reduce(c.c, (acc, x) -> acc + x) AS BIGINT) AS c_sum
-    FROM c{R} c LEFT JOIN st ON c.cid = st.cid ORDER BY c.cid
+    FROM {cR} c LEFT JOIN st ON c.cid = st.cid ORDER BY c.cid
     """
 
 
@@ -8287,6 +8294,118 @@ def train_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     assigned, cent = kmeans_train(emb.select("vec_id", "embedding"))
     return kmeans_report(assigned, cent)
+
+
+def _semdedup_base_ctes() -> str:
+    """Lloyd chain + per-vector norms + within-cluster qualifying pairs
+    — the shared head of both SemDeDup oracles. HUGEINT mirrors Spark's
+    decimal(38,0): three-factor products ≤ ~1e30 ≪ both ranges, exact."""
+    from ..operators.kmeans import dot_sql
+
+    chain, aR, _ = _kmeans_ctes()
+    return f"""{chain},
+    base AS (SELECT cid, vec_id, v,
+                    CAST({dot_sql('v', 'v', spark=False)} AS BIGINT) AS n2
+             FROM {aR}),
+    p AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+                 CAST({dot_sql('x.v', 'y.v', spark=False)} AS BIGINT) AS dot_uu,
+                 x.n2 AS n2a, y.n2 AS n2b
+          FROM base x JOIN base y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    qual AS (SELECT cid, id_a, id_b, dot_uu FROM p
+             WHERE dot_uu > 0
+               AND CAST(25 AS HUGEINT) * CAST(dot_uu AS HUGEINT)
+                   * CAST(dot_uu AS HUGEINT)
+                   >= CAST(4 AS HUGEINT) * CAST(n2a AS HUGEINT)
+                      * CAST(n2b AS HUGEINT))"""
+
+
+def _semdedup_pairs_oracle() -> str:
+    return f"""WITH {_semdedup_base_ctes()}
+    SELECT cid, id_a, id_b, dot_uu FROM qual
+    """
+
+
+@register(
+    "semdedup_pairs",
+    _semdedup_pairs_oracle(),
+    bench=True,
+    tags=["dedup", "embedding", "semdedup", "clustering", "integer-exact"],
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    WITHIN in-engine-trained k-means clusters — clustering bounds the
+    quadratic pair term to per-cluster sizes (at 100 TB, k grows with n
+    so |cluster| stays bounded; the self-join is an equi-join on cid,
+    never a cartesian). Cosine >= 0.4 is tested integer-exactly as
+    25·dot² >= 4·‖a‖²·‖b‖² over micro-unit int64s in decimal(38,0) /
+    HUGEINT — no float in the predicate, hence hash-gradeable with no
+    ULP risk (the weakness ADVICE flagged on the float-ranked recall
+    eval cannot occur here)."""
+    from ..operators.kmeans import kmeans_train
+    from ..operators.kmeans import semdedup_pairs as _pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_train(emb.select("vec_id", "embedding"))
+    return _pairs(assigned)
+
+
+def _semdedup_keep_oracle() -> str:
+    return f"""WITH {_semdedup_base_ctes()},
+    dropped AS (SELECT DISTINCT id_b AS vec_id FROM qual)
+    SELECT b.vec_id, b.cid,
+           (d.vec_id IS NULL) AS kept
+    FROM base b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    """
+
+
+@register(
+    "semdedup_keep",
+    _semdedup_keep_oracle(),
+    tags=["dedup", "embedding", "semdedup", "clustering"],
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup keep decision under the greedy keep-first
+    policy: dropped iff some qualifying within-cluster neighbor has a
+    smaller vec_id. One-pass deterministic screen (the exact
+    one-per-connected-component variant is the separately graded CC
+    family, operators/graph.py); grades the full 100%-of-corpus
+    decision table, not a summary."""
+    from ..operators.kmeans import kmeans_train
+    from ..operators.kmeans import semdedup_keep as _keep
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_train(emb.select("vec_id", "embedding"))
+    return _keep(assigned)
+
+
+def _prototypes_oracle() -> str:
+    chain, aR, _ = _kmeans_ctes()
+    return f"""WITH {chain}
+    SELECT cid, rnk, vec_id, d2 FROM (
+      SELECT cid, vec_id, d2,
+             row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rnk
+      FROM {aR})
+    WHERE rnk <= 3
+    """
+
+
+@register(
+    "cluster_prototypes_topk",
+    _prototypes_oracle(),
+    tags=["training", "clustering", "pruning", "integer-exact"],
+)
+def cluster_prototypes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype selection (Sorscher et al. 2022 data-pruning
+    shape): the 3 most prototypical vectors per k-means cluster —
+    smallest exact integer d2 to the final centroid, vec_id tie-break.
+    Window partitions by cid (per-cluster top-m heap, no global sort);
+    ties are real integer ties, so the rank order is engine-identical."""
+    from ..operators.kmeans import kmeans_train, prototypes_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_train(emb.select("vec_id", "embedding"))
+    return prototypes_topk(assigned, m=3)
 
 
 _DSIR_DIM = 1024
