@@ -8629,7 +8629,9 @@ GRADED_WINDOW: list[str] = [
     "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
     "train_logreg_hashed",
-    "skew_salted_agg",
+    # skew_salted_agg ceded (green r03 driver row; salting family keeps
+    # the local-parity join twin) to the in-engine k-means trainer
+    "train_kmeans_lloyd",
     "bm25_topk",
     # ann_ivf_topk (zero-training fallback) ceded its slot to the
     # k-means twin, which subsumes it
@@ -8637,7 +8639,10 @@ GRADED_WINDOW: list[str] = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "dedup_embedding_lsh",
-    "range_join_ship_window",
+    # range_join_ship_window ceded (green r03 driver row; interval/range
+    # shapes stay graded via stream_interval_join + asof) to SemDeDup —
+    # a new family should carry a driver row, not rest on local parity
+    "semdedup_pairs",
     "dedup_clusters",
     "export_shard_stats",
     "topk_parts_per_supplier",
