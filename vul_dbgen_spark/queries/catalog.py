@@ -8408,6 +8408,83 @@ def cluster_prototypes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototypes_topk(assigned, m=3)
 
 
+@register(
+    "ts_gapfill_locf",
+    """
+    WITH agg AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+             FROM agg GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(b0, b1, INTERVAL '1 hour')) AS bucket_ts
+              FROM span),
+    j AS (SELECT s.user_id, s.bucket_ts, a.n, a.sv
+          FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts))
+    SELECT user_id, bucket_ts,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           CAST(round(sv, 2) AS DOUBLE) AS sum_value,
+           CAST(round(last_value(sv IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS locf_value,
+           (n IS NULL) AS is_gap
+    FROM j
+    """,
+    bench=True,
+    tags=["timeseries", "gapfill", "locf", "hypertable"],
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup with LOCF
+    (TimescaleDB's time_bucket_gapfill + locf shape): dense per-user
+    hour grid between each user's first and last observed hour,
+    observed aggregates joined on, value forward-filled. Everything is
+    keyed — bucket agg, spine explode, gap join, and the LOCF window
+    all partition by user_id; per-key spine size is bounded by the
+    retention window, so cost is O(keys × buckets) independent of raw
+    event volume after the first aggregate. Sum is decimal-exact before
+    its single rounding (money-sum discipline)."""
+    from ..operators.timeseries import gapfill_locf
+
+    return gapfill_locf(load(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_ohlc_daily",
+    """
+    WITH e AS (SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+                      ts, event_id, value
+               FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id, bucket_ts
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY user_id, bucket_ts
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM e)
+    SELECT user_id, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN ra = 1 THEN value END) AS DOUBLE) AS open_v,
+           CAST(max(value) AS DOUBLE) AS high_v,
+           CAST(min(value) AS DOUBLE) AS low_v,
+           CAST(max(CASE WHEN rd = 1 THEN value END) AS DOUBLE) AS close_v
+    FROM r GROUP BY user_id, bucket_ts
+    """,
+    tags=["timeseries", "ohlc", "downsample", "hypertable"],
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) OHLC downsample in ONE hash aggregate:
+    open/close ride min/max over struct(ts, event_id, value) — the
+    lexicographic order is (ts, event_id) with the unique event_id
+    making ties impossible, so no window pass and no second shuffle
+    (the oracle mirrors with explicit row_number windows; identical
+    total orderings ⇒ identical results). high/low are exact raw-double
+    min/max — no fp summation anywhere."""
+    from ..operators.timeseries import ohlc_downsample
+
+    return ohlc_downsample(load(spark, sf_dir, "events"))
+
+
 _DSIR_DIM = 1024
 # same 24-bit md5 bucket, engine-specific spelling (the equivalence is
 # the one the hashed-scorer family grades on): DuckDB hex-literal cast
