@@ -212,7 +212,24 @@ def main() -> None:
             # DSIR: one explode feeding two ≤1024-row bucket counts +
             # a broadcast re-join — expected ~linear in token volume
             "dsir_importance_topk",
+            # Lloyd k-means: per-round cost is one n×k broadcast argmin
+            # + one (cid,dim) partial agg of ≤ k·dim rows — linear in n
+            # at fixed k
+            "train_kmeans_lloyd",
+            # gapfill: after the first (key,bucket) agg, cost is
+            # O(keys × buckets) — sf1 grows keys 10x, window stays 720h
+            "ts_gapfill_locf",
         ]
+        # semdedup_pairs is deliberately NOT here: the graded artifact
+        # freezes k=8, and with k fixed the within-cluster pair volume
+        # is Θ(n²/k) by problem statement — at 10x vectors the clusters
+        # grow 10x and pairs 100x. The paper's configuration discipline
+        # (k ∝ n, holding |cluster| constant) makes the pair stage
+        # linear but turns the n×k Lloyd assignment quadratic in turn;
+        # the 100 TB answer is routing vectors to centroids through the
+        # ANN family (IVF cells, benched above), not a bigger flat
+        # argmin. The k=8 entry grades the algebra; the scale posture is
+        # inherited from the benched IVF + banded-LSH paths.
         # fuzzy_pairs_hamming is deliberately NOT in the sf1 list, for
         # the same Θ(n²)-by-problem-statement reason as the ngram pair
         # queries: c_name is 9 constant chars + a dense sequential

@@ -80,6 +80,38 @@ def test_gapfill_sum_matches_decimal_groupby(spark):
         assert r.sum_value == want[(r.user_id, r.bucket_ts)]
 
 
+def test_interpolate_line_and_endpoints(spark):
+    from vul_dbgen_spark.operators.timeseries import gapfill_interpolate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 15)
+    rows = [
+        (1, t0, 7, 10.0),                          # hour 0: 10
+        (2, t0 + dt.timedelta(hours=4), 7, 2.0),   # hour 4: 2
+    ]
+    got = {
+        r.bucket_ts.hour: r
+        for r in gapfill_interpolate(_mk(spark, rows)).collect()
+    }
+    assert len(got) == 5
+    # observation rows reproduce their own value
+    assert got[0].interp_value == 10.0 and not got[0].is_gap
+    assert got[4].interp_value == 2.0 and not got[4].is_gap
+    # gap rows sit on the line 10 -> 2 over 4 hours (slope -2/hour)
+    assert got[1].interp_value == 8.0 and got[1].is_gap
+    assert got[2].interp_value == 6.0
+    assert got[3].interp_value == 4.0
+    assert all(r.sum_value is None for h, r in got.items() if h in (1, 2, 3))
+
+
+def test_interpolate_total_and_invariant(spark):
+    from vul_dbgen_spark.operators.timeseries import gapfill_interpolate
+
+    out = gapfill_interpolate(_events(spark)).collect()
+    assert out and all(r.interp_value is not None for r in out)
+    r2 = gapfill_interpolate(_events(spark, repart=13)).collect()
+    assert sorted(tuple(r) for r in out) == sorted(tuple(r) for r in r2)
+
+
 def test_ohlc_matches_bruteforce(spark):
     e = _events(spark)
     rows = e.select("user_id", "ts", "event_id", "value").collect()
