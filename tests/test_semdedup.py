@@ -91,6 +91,47 @@ def test_prototypes_rank_by_d2(spark):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_incremental_screen_mirrors_batch_pairs(spark):
+    from vul_dbgen_spark.operators.kmeans import (
+        assign,
+        quantize_sql,
+        semdedup_incremental,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    out = {r.vec_id: r for r in semdedup_incremental(corpus, delta).collect()}
+    assert len(out) == delta.count()
+
+    # brute-force reference: train on corpus, assign delta, test pairs
+    a_corpus, cent = kmeans_train(corpus)
+    dq = delta.select(
+        "vec_id", F.expr(quantize_sql("embedding")).alias("v")
+    )
+    da = {r.vec_id: (r.cid, r.v) for r in assign(dq, cent).collect()}
+    cvecs = {}
+    for r in a_corpus.collect():
+        cvecs.setdefault(r.cid, []).append(r.v)
+    n_dup = 0
+    for vid, (cid, v) in da.items():
+        assert out[vid].cid == cid
+        n2d = sum(x * x for x in v)
+        is_dup = False
+        for vc in cvecs.get(cid, []):
+            dot = sum(x * y for x, y in zip(v, vc))
+            if dot > 0 and 25 * dot * dot >= 4 * n2d * sum(
+                y * y for y in vc
+            ):
+                is_dup = True
+                break
+        assert out[vid].is_dup == is_dup
+        n_dup += is_dup
+    assert 0 < n_dup < len(da)  # screen is non-vacuous both ways
+
+
 def test_all_three_partitioning_invariant(spark):
     a1, a2 = _assigned(spark), _assigned(spark, repart=13)
     for fn in (

@@ -228,6 +228,57 @@ def semdedup_keep(
     )
 
 
+def semdedup_incremental(
+    corpus_emb: DataFrame,
+    delta_emb: DataFrame,
+    dim: int = KMEANS_DIM,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    tau2_num: int = 4,
+    tau2_den: int = 25,
+) -> DataFrame:
+    """Delta-vs-corpus incremental SemDeDup — the production shape for
+    continuously-ingested training data, mirroring the MinHash
+    ``incremental_minhash_dedup`` design: the standing corpus's cluster
+    index is NEVER re-paired against itself. Clusters are trained on
+    the corpus alone; the delta gets ONE frozen-centroid assignment
+    pass (no Lloyd rounds over the union), then each delta vector is
+    screened against same-cluster corpus vectors only — cost
+    |delta| × |cluster|, never |corpus|², and the screen emits a
+    boolean per delta vector, not pair rows. Same integer-exact cosine
+    test as semdedup_pairs. Returns (vec_id, cid, is_dup) for every
+    delta vector."""
+    corpus_assigned, cent = kmeans_train(corpus_emb, k, rounds, dim)
+    dq = delta_emb.select(
+        "vec_id", F.expr(quantize_sql("embedding", dim)).alias("v")
+    )
+    da = assign(dq, cent, dim).drop("d2")
+    base_d = da.withColumn("n2d", F.expr(dot_sql("v", "v", dim)))
+    base_c = corpus_assigned.select(
+        "cid",
+        F.col("v").alias("vc"),
+        F.expr(dot_sql("v", "v", dim)).alias("n2c"),
+    )
+    pair = base_d.join(base_c, "cid").withColumn(
+        "dot_uu", F.expr(dot_sql("v", "vc", dim))
+    )
+    cond = F.expr(
+        f"dot_uu > 0 AND CAST({tau2_den} AS DECIMAL(38,0))"
+        " * CAST(dot_uu AS DECIMAL(38,0)) * CAST(dot_uu AS DECIMAL(38,0))"
+        f" >= CAST({tau2_num} AS DECIMAL(38,0))"
+        " * CAST(n2d AS DECIMAL(38,0)) * CAST(n2c AS DECIMAL(38,0))"
+    )
+    matched = (
+        pair.filter(cond)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return da.select("vec_id", "cid").join(matched, "vec_id", "left").select(
+        "vec_id", "cid", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+
+
 def prototypes_topk(assigned: DataFrame, m: int = 3) -> DataFrame:
     """SSL-prototype selection (Sorscher et al. 2022 data-pruning
     shape): the m most prototypical vectors per cluster — smallest

@@ -8202,7 +8202,7 @@ def bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes() -> tuple[str, str, str]:
+def _kmeans_ctes(where: str = "") -> tuple[str, str, str]:
     """Shared unrolled-Lloyd CTE chain mirroring operators/kmeans.py —
     integer-exact by the same micro-unit construction, so every mirror
     built on it needs no rounding tolerance anywhere: quantization
@@ -8221,7 +8221,7 @@ def _kmeans_ctes() -> tuple[str, str, str]:
     parts = [
         f"q AS (SELECT vec_id,"
         f" [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
-        f" for i in generate_series(1, {d})] AS v FROM embeddings)",
+        f" for i in generate_series(1, {d})] AS v FROM embeddings{where})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
         f" v AS c FROM (SELECT vec_id, v FROM q ORDER BY vec_id"
         f" LIMIT {KMEANS_K}))",
@@ -8377,6 +8377,66 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_train(emb.select("vec_id", "embedding"))
     return _keep(assigned)
+
+
+def _semdedup_incremental_oracle() -> str:
+    """Clusters trained on the even-id corpus only; the odd-id delta
+    gets one frozen-centroid assignment pass, then a same-cluster
+    integer-cosine screen against corpus vectors — boolean per delta
+    vector, no pair rows in the output."""
+    from ..operators.kmeans import KMEANS_DIM, dist2_sql, dot_sql
+
+    d = KMEANS_DIM
+    chain, aR, cR = _kmeans_ctes(" WHERE vec_id % 2 = 0")
+    poly = dist2_sql("dq.v", "c.c", spark=False)
+    return f"""WITH {chain},
+    dq AS (SELECT vec_id,
+                  [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                   for i in generate_series(1, {d})] AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    da AS (SELECT vec_id, v, cid FROM
+           (SELECT dq.vec_id, dq.v, c.cid, row_number() OVER
+                   (PARTITION BY dq.vec_id ORDER BY {poly}, c.cid) AS rn
+            FROM dq CROSS JOIN {cR} c) WHERE rn = 1),
+    cb AS (SELECT cid, v AS vc,
+                  CAST({dot_sql('v', 'v', spark=False)} AS BIGINT) AS n2c
+           FROM {aR}),
+    m AS (SELECT DISTINCT vec_id FROM (
+            SELECT d.vec_id,
+                   CAST({dot_sql('d.v', 'c.vc', spark=False)} AS BIGINT) AS dot_uu,
+                   CAST({dot_sql('d.v', 'd.v', spark=False)} AS BIGINT) AS n2d,
+                   c.n2c
+            FROM da d JOIN cb c ON d.cid = c.cid)
+          WHERE dot_uu > 0
+            AND CAST(25 AS HUGEINT) * CAST(dot_uu AS HUGEINT)
+                * CAST(dot_uu AS HUGEINT)
+                >= CAST(4 AS HUGEINT) * CAST(n2d AS HUGEINT)
+                   * CAST(n2c AS HUGEINT))
+    SELECT da.vec_id, da.cid, (m.vec_id IS NOT NULL) AS is_dup
+    FROM da LEFT JOIN m USING (vec_id)
+    """
+
+
+@register(
+    "semdedup_incremental",
+    _semdedup_incremental_oracle(),
+    tags=["dedup", "embedding", "semdedup", "incremental", "clustering"],
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus incremental SemDeDup — the family's production
+    scale path, mirroring dedup_incremental's contract: even vec_ids
+    play the standing corpus (clusters trained on it alone), odd
+    vec_ids the newly-ingested batch (ONE frozen-centroid assignment
+    pass, no re-training over the union); each delta vector is screened
+    against same-cluster corpus vectors only — |delta| × |cluster|
+    integer-cosine tests, never |corpus|², and the output is a boolean
+    per delta vector, not pair rows."""
+    from ..operators.kmeans import semdedup_incremental as _inc
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    return _inc(corpus, delta)
 
 
 def _prototypes_oracle() -> str:
