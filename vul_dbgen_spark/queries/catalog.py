@@ -1016,6 +1016,51 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_event_matrix",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click')    AS click,
+             count(*) FILTER (WHERE event_type = 'view')     AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             count(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, CAST(n AS BIGINT) AS n
+    FROM wide
+    UNPIVOT (n FOR kind IN (click, view, purchase, signup, error))
+    WHERE n > 0
+    """,
+    tags=["unpivot", "melt", "pivot"],
+)
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of pivot_event_counts: the wide
+    per-user event-type count matrix back to long form via stack()
+    (Spark's UNPIVOT; zero-count cells dropped, mirroring UNPIVOT's
+    null-exclusion default). Pivot→unpivot composes to the plain
+    groupBy — the oracle spells the same round trip, so the grade pins
+    both directions. stack() is a Generate node (row fan-out 5,
+    column-bounded), not a shuffle."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in kinds)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(f"stack({len(kinds)}, {stack}) AS (kind, n)"),
+        )
+        .filter(F.col("n") > 0)
+        .select("user_id", "kind", F.col("n").cast("long").alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators: dedup / text analysis / similarity
 # ---------------------------------------------------------------------------
