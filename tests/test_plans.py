@@ -92,14 +92,15 @@ def test_capped_jaccard_hot_gram_antijoin_is_broadcast(spark):
     assert "LeftAnti" in plan
 
 
-def test_semdedup_pair_join_is_cid_equijoin(spark):
-    # the within-cluster pair join is SemDeDup's whole scale contract:
-    # it must hash/merge on cid — its only BNLJ markers are the two
+def test_semdedup_pair_stage_is_per_cluster_arrow_kernel(spark):
+    # the within-cluster pair stage is SemDeDup's whole scale contract:
+    # ONE Arrow kernel per cid group (exact int64 Gram matmul), grouped
+    # by a cid hash exchange — its only BNLJ markers are the two
     # allowlisted broadcast-centroid Lloyd assignment passes (k rows),
     # never a pair-side cartesian
     plan = _plan(C.semdedup_pairs(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
@@ -190,6 +191,9 @@ CARTESIAN_ALLOWED = {
     "semdedup_pairs",
     "semdedup_keep",
     "cluster_prototypes_topk",
+    # corpus-trained Lloyd passes + ONE frozen-centroid delta
+    # assignment — same broadcast-k-rows shape
+    "semdedup_incremental",
 }
 
 

@@ -170,38 +170,64 @@ def semdedup_pairs(
 
         dot > 0  AND  tau2_den·dot² >= tau2_num·‖a‖²·‖b‖²
 
-    over micro-unit int64s, evaluated in decimal(38,0) (Spark) /
-    HUGEINT (DuckDB): dot ≤ 64·(2e6)² ≈ 2.6e14, so the three-factor
-    products stay ≤ ~1e30 ≪ 10³⁸ — exact on both engines, no float
-    anywhere, hence hash-gradeable. The dot > 0 guard keeps
-    anti-parallel vectors (negative cosine, positive square) out."""
-    base = assigned.select("cid", "vec_id", "v").withColumn(
-        "n2", F.expr(dot_sql("v", "v", dim))
+    over micro-unit int64s: dot ≤ 64·(2e6)² ≈ 2.6e14, the three-factor
+    products ≤ ~1e30 — exact, no float in the DECISION, hence
+    hash-gradeable. The dot > 0 guard keeps anti-parallel vectors
+    (negative cosine, positive square) out.
+
+    Physical strategy: one Arrow `applyInPandas` kernel per cluster —
+    an exact int64 numpy Gram matmul (the same vectorized-kernel shape
+    the paper's reference implementation runs per cluster), with the
+    threshold test as a wide-margin double prefilter and an exact
+    Python-int check only for the boundary sliver (the 1e29-scale
+    products overflow int64, and both the unrolled 64-term SQL dot and
+    its zip_with/aggregate HOF form measured 6-8s / 2.4s interpreted
+    per 250k pairs at sf0.1 where the matmul is milliseconds). The
+    result set is identical to the pure-decimal formulation the oracle
+    mirrors — the prefilter margins (1e-9 relative, vs ~1e-16/op double
+    error) only route WHICH test decides, never what it decides."""
+    tn, td = tau2_num, tau2_den
+
+    def _gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cid": [], "id_a": [], "id_b": [], "dot_uu": []}
+            ).astype({"cid": "int32", "id_a": "int64", "id_b": "int64",
+                      "dot_uu": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(pdf["v"].to_numpy()[order]).astype(np.int64)
+        G = V @ V.T  # exact: |dot| <= 64*(2e6)^2 << 2^63
+        n2 = np.diag(G).astype(np.int64)
+        ia, ib = np.triu_indices(n, k=1)
+        dot = G[ia, ib]
+        pos = dot > 0
+        lhs = td * (dot.astype(np.float64) ** 2)
+        rhs = tn * (n2[ia].astype(np.float64) * n2[ib].astype(np.float64))
+        sure_pass = pos & (lhs > rhs * (1 + 1e-9))
+        ambiguous = pos & ~sure_pass & (lhs > rhs * (1 - 1e-9))
+        keep = sure_pass.copy()
+        for idx in np.flatnonzero(ambiguous):
+            d, na, nb = int(dot[idx]), int(n2[ia[idx]]), int(n2[ib[idx]])
+            keep[idx] = td * d * d >= tn * na * nb  # exact bigints
+        cid = int(pdf["cid"].iloc[0])
+        return pd.DataFrame(
+            {
+                "cid": np.full(keep.sum(), cid, dtype="int32"),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "dot_uu": dot[keep],
+            }
+        )
+
+    return assigned.select("cid", "vec_id", "v").groupBy("cid").applyInPandas(
+        _gram, schema="cid int, id_a long, id_b long, dot_uu long"
     )
-    x = base.select(
-        "cid",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("n2").alias("n2a"),
-    )
-    y = base.select(
-        "cid",
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("n2").alias("n2b"),
-    )
-    j = (
-        x.join(y, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot_uu", F.expr(dot_sql("va", "vb", dim)))
-    )
-    cond = F.expr(
-        f"dot_uu > 0 AND CAST({tau2_den} AS DECIMAL(38,0))"
-        " * CAST(dot_uu AS DECIMAL(38,0)) * CAST(dot_uu AS DECIMAL(38,0))"
-        f" >= CAST({tau2_num} AS DECIMAL(38,0))"
-        " * CAST(n2a AS DECIMAL(38,0)) * CAST(n2b AS DECIMAL(38,0))"
-    )
-    return j.filter(cond).select("cid", "id_a", "id_b", "dot_uu")
 
 
 def semdedup_keep(
