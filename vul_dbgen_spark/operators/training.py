@@ -117,6 +117,15 @@ def logreg_train_report(
     """Train, then emit (feature, weight) rows plus the final train
     logloss — the artifact a curation pipeline freezes and ships to the
     inference pass (hashed_linear_score's literal-weights slot)."""
+    # persist the projected features ONCE — this is the "persist the
+    # projection" step the 100 TB cost model in the module docstring
+    # prescribes, and it is where the walltime actually goes: each
+    # gradient scan otherwise re-runs the string-replace feature SQL
+    # over the full document text from parquet. Measured at sf1 (50k
+    # docs): 2.9 s per iteration reading parquet vs 0.33 s on the
+    # checkpointed 4-double projection — the 29× sf1 bench ratio in
+    # BENCH_r03's successor was exactly this recompute, not the math.
+    feats = feats.localCheckpoint()
     w = logreg_train_gd(feats, feature_cols, lr=lr, iters=iters)
     s = _sigmoid_sql(w, feature_cols)
     loss = feats.agg(
