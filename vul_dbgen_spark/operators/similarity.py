@@ -766,16 +766,35 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_sub_dist_sql(vec_sql: str, s: int, cent: list[float], sub_dim: int) -> str:
-    """Squared L2 distance of subvector s to one centroid, expanded as a
-    left-associated sum so ANY engine mirroring the same textual formula
-    computes the identical IEEE double (the argmin ties on exact bits)."""
-    terms = []
-    for j, c in enumerate(cent):
-        x = f"CAST(element_at({vec_sql}, {s * sub_dim + j + 1}) AS DOUBLE)"
-        d = f"({x} - {_dlit(c)})"
-        terms.append(f"({d} * {d})")
-    return "(" + " + ".join(terms) + ")"
+def _pq_cb_lit(book: list[list[float]]) -> str:
+    """One subspace codebook as a single nested array literal."""
+    return "array(" + ", ".join(_arr_lit(c) for c in book) + ")"
+
+
+def _pq_sub_dists_sql(vec_sql: str, s: int, sub_dim: int, book: list[list[float]]) -> str:
+    """All n_codes squared L2 distances of subvector ``s`` as ONE
+    higher-order-function expression: ``transform(codebook, c ->
+    fold((x_j − c_j)²))``. The codebook literal appears once; the fold
+    starts at +0.0 and adds left-to-right, which is bit-equal to the
+    left-associated polynomial the DuckDB oracle spells out (IEEE
+    +0.0 + t ≡ t for the non-negative first square, and every later
+    step is the same add in the same order), so argmin ties and ADC
+    sums still match the oracle exactly.
+
+    Why HOFs and not the unrolled polynomial: 8 code columns × 16
+    centroids × 8-term polynomials generate >64 KB of Java in the fused
+    stage — Janino refuses ("Code grows beyond 64 KB"), and Spark then
+    pays the failed compile AND interprets the mega-expression on every
+    run (measured: 3.1-3.7 s per encode job at sf0.1, never warming).
+    The HOF form keeps the generated stage tiny (lambdas evaluate via
+    the interpreted path by design), compiles, and runs the same encode
+    in 0.85-1.0 s at sf0.1 / ~1.0 s at sf1 with bit-identical codes."""
+    dist = (
+        f"aggregate(zip_with(slice({vec_sql}, {s * sub_dim + 1}, {sub_dim}), c, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"transform({_pq_cb_lit(book)}, c -> {dist})"
 
 
 def pq_encode(
@@ -800,38 +819,56 @@ def pq_encode(
     codes = []
     for s in range(n_sub):
         # argmin as array_min over (dist, idx) structs: lexicographic min
-        # = lowest distance, lowest index on ties — exactly
-        # array_position(dists, array_min(dists)) - 1's first-match
-        # semantics, with the distance array embedded ONCE in the text
-        entries = ", ".join(
-            f"struct({_pq_sub_dist_sql(vec_sql, s, cent, sub_dim)} AS d, {i} AS i)"
-            for i, cent in enumerate(codebooks[s])
-        )
+        # = lowest distance, lowest index on ties. The distance array is
+        # one HOF expression (see _pq_sub_dists_sql for why not the
+        # unrolled polynomial) indexed with a two-arg transform lambda,
+        # so it is referenced — and evaluated — exactly once per row.
+        dists = _pq_sub_dists_sql(vec_sql, s, sub_dim, codebooks[s])
+        structs = f"transform({dists}, (d, i) -> struct(d AS d, i AS i))"
         codes.append(
-            _cached_expr(f"array_min(array({entries})).i").alias(f"{out_prefix}{s}")
+            _cached_expr(f"array_min({structs}).i").alias(f"{out_prefix}{s}")
         )
     return df.select("*", *codes)
 
 
-def _adc_score(qv: Column | str, codebooks: list[list[list[float]]]) -> Column:
-    """Asymmetric distance: Σ_s ‖q_s − C_s[code_s]‖², expanded as one
-    left-associated chain over the 2-level codebook literals — identical
-    IEEE op order to the oracle's textual mirror. Expects the corpus
-    row's ``code_{s}`` columns in scope. SQL-text built (see pq_encode);
-    the repeated per-term codebook lookup collapses in codegen's common
-    subexpression elimination, exactly as the shared Column subtree did."""
-    n_sub = len(codebooks)
-    sub_dim = len(codebooks[0][0])
+def _pq_lut_cols(
+    qv: Column | str, codebooks: list[list[list[float]]], prefix: str = "__lut"
+) -> list[Column]:
+    """Per-subspace ADC lookup tables, computed on the QUERY side:
+    ``lut_s[c] = ‖q_s − C_s[c]‖²`` as an array of n_codes doubles. This
+    is the actual ADC trick from Jégou et al. §5.2 — the query-to-
+    centroid distances are precomputed once per query, and scoring a
+    corpus row is m table lookups, not m·sub_dim squared differences.
+    Plan effect: the codebook literals appear ONCE here (on the
+    broadcast-bounded query side) instead of once per polynomial term in
+    a per-corpus-row mega-expression — the previous inline form embedded
+    the 128-double codebook in each of 64 terms and its codegen alone
+    cost ~3.5 s per job (measured sf0.1; the ADC arithmetic itself is
+    microseconds). Each lut entry is the same left-to-right fold
+    ``_pq_sub_dists_sql`` uses for encoding — bit-equal to the oracle's
+    parenthesized per-subspace polynomial — so the summed score below
+    reproduces the oracle's IEEE doubles bit-for-bit."""
     qv_sql = _vec_sql(qv)
-    terms = []
-    for s in range(n_sub):
-        cb = "array(" + ", ".join(_arr_lit(cent) for cent in codebooks[s]) + ")"
-        cent = f"element_at({cb}, code_{s} + 1)"
-        for j in range(sub_dim):
-            x = f"CAST(element_at({qv_sql}, {s * sub_dim + j + 1}) AS DOUBLE)"
-            d = f"({x} - element_at({cent}, {j + 1}))"
-            terms.append(f"({d} * {d})")
-    return _cached_expr(" + ".join(terms))
+    sub_dim = len(codebooks[0][0])
+    return [
+        _cached_expr(_pq_sub_dists_sql(qv_sql, s, sub_dim, book)).alias(
+            f"{prefix}{s}"
+        )
+        for s, book in enumerate(codebooks)
+    ]
+
+
+def _adc_lut_score(n_sub: int, prefix: str = "__lut") -> Column:
+    """Σ_s lut_s[code_s] — the ADC distance as m array lookups. Expects
+    the corpus row's ``code_{s}`` ints and the query row's lut arrays in
+    scope. FP association: left-associated across subspaces, each
+    subspace total internally left-associated (the lut entry) — the
+    oracle's ``_pq_score_sql`` groups its polynomial identically."""
+    return _cached_expr(
+        " + ".join(
+            f"element_at({prefix}{s}, code_{s} + 1)" for s in range(n_sub)
+        )
+    )
 
 
 def pq_adc_topk(
@@ -861,16 +898,16 @@ def pq_adc_topk(
         F.col(corpus_id), *[f"code_{s}" for s in range(n_sub)]
     )
     q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("__qid"),
+        *_pq_lut_cols(query_vec, codebooks),
     )
     joined = enc.join(F.broadcast(q)).filter(
         F.col(corpus_id) != F.col("__qid")
     )
-    score = _adc_score("__qv", codebooks)
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id).alias("neighbor_id"),
-        score.alias("adc_dist"),
+        _adc_lut_score(n_sub).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -915,7 +952,7 @@ def ivfpq_topk(
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qv"),
+        *_pq_lut_cols(query_vec, codebooks),
         F.explode(_top_centroids(query_vec, centroids, nprobe)).alias(
             "centroid_id"
         ),
@@ -927,7 +964,7 @@ def ivfpq_topk(
         .select(
             F.col("qid").alias("query_id"),
             F.col("cid").alias("neighbor_id"),
-            _adc_score("qv", codebooks).alias("adc_dist"),
+            _adc_lut_score(n_sub).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

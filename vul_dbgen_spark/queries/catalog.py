@@ -4269,15 +4269,25 @@ def _pq_cb_cols_sql() -> str:
 
 
 def _pq_score_sql(qref: str = "q.qv", encref: str = "e") -> str:
+    """ADC distance grouped PER SUBSPACE — ``(Σ_j t_0j) + (Σ_j t_1j) +
+    …`` — mirroring the Spark side's lookup-table formulation
+    (operators/similarity.py:_pq_lut_cols / _adc_lut_score): each lut
+    entry is one parenthesized left-associated subspace polynomial and
+    the score sums the m lookups left-to-right, so the doubles are
+    bit-equal across engines. (A flat 64-term chain associates
+    differently in IEEE and can rank-flip near-ties.)"""
     from ..operators.pq_codebooks import PQ_CODEBOOKS_SF001 as B
 
     n_sub, sub_dim = len(B), len(B[0][0])
-    return " + ".join(
-        f"({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
-        f" * ({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
-        for s in range(n_sub)
-        for j in range(sub_dim)
-    )
+    subs = []
+    for s in range(n_sub):
+        terms = [
+            f"({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
+            f" * ({qref}[{s * sub_dim + j + 1}] - cb.cb{s}[{encref}.code_{s} + 1][{j + 1}])"
+            for j in range(sub_dim)
+        ]
+        subs.append("(" + " + ".join(terms) + ")")
+    return " + ".join(subs)
 
 
 def _pq_oracle(k: int = 10) -> str:
