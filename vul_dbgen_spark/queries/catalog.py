@@ -127,9 +127,19 @@ def _rebalance_starved_scan(spark: SparkSession, df: DataFrame, path: str) -> Da
     cores = spark.sparkContext.defaultParallelism
     if size < 2 * 1024 * 1024:
         return df
-    if df.rdd.getNumPartitions() >= max(cores // 4, 1):
-        return df
-    return df.repartition(cores)
+    # memoize the starved-scan probe per (path, size): df.rdd forces a
+    # physical plan of the scan (~0.1-0.3 s of driver work) and the
+    # answer is a pure function of the file layout, which every catalog
+    # query re-reads identically
+    key = (path, size, cores)
+    starved = _SCAN_STARVED_CACHE.get(key)
+    if starved is None:
+        starved = df.rdd.getNumPartitions() < max(cores // 4, 1)
+        _SCAN_STARVED_CACHE[key] = starved
+    return df.repartition(cores) if starved else df
+
+
+_SCAN_STARVED_CACHE: dict[tuple[str, int, int], bool] = {}
 
 
 @dataclass
