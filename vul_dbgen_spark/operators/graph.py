@@ -248,9 +248,15 @@ def triangle_stats(
     Θ(Σ out-deg²) probes is an allocation-free long lookup (measured at
     sf1, 12M edges / 1.48B wedges, best-of-3 in fresh JVMs: 74-77 s
     two-column vs 34-45 s packed — the probe-side allocation churn was
-    also the census's dominant GC-noise source). Ids outside that range
-    keep the two-column join, equivalence pinned by the huge-id test.
-    The two scalar aggregates collapse map-side.
+    also the census's dominant GC-noise source). The closing semi-join
+    carries an EXPLICIT broadcast hint below the wedge-bloom gate:
+    Spark's own size estimate flips it to sort-merge once the edge set
+    crosses autoBroadcastJoinThreshold (12M packed longs ≈ 96 MB > the
+    64 MB conf), which sorts the full wedge stream — measured at sf1:
+    210-232 s as SMJ vs 21-36 s hinted, same fresh-JVM harness. Ids
+    outside the packable range keep the two-column join, equivalence
+    pinned by the huge-id test. The two scalar aggregates collapse
+    map-side.
 
     ``wedge_bloom`` guards the one genuine cliff: when the edge set is
     too large to broadcast, the closing step becomes a SHUFFLE of the
@@ -384,15 +390,31 @@ def triangle_stats(
         _pk = lambda cu, cv: F.shiftleft(F.col(cu).cast("bigint"), 32).bitwiseOR(  # noqa: E731
             F.col(cv).cast("bigint")
         )
+        # EXPLICIT broadcast below the wedge-bloom gate: the docstring's
+        # whole design argument is that at broadcast scale the closing
+        # step is a broadcast semi-join (the wedge stream never moves).
+        # Left to its own size estimate Spark flips to sort-merge once
+        # the packed edge set crosses autoBroadcastJoinThreshold (12M
+        # edges ≈ 96 MB > the 64 MB conf) — which SORTS the Θ(Σ
+        # out-deg²) wedge stream: measured at sf1 (1.48B wedges)
+        # 210-232 s as SMJ vs 21-36 s broadcast in the same fresh-JVM
+        # harness. Past the gate canon is genuinely too big to
+        # broadcast; there the bloom prunes the wedges and the shuffle
+        # is the designed plan, so the hint stays off.
+        build = canon.select(_pk("u", "v").alias("__uv"))
+        if not wedge_bloom:
+            build = F.broadcast(build)
         tri = (
             wedge.select(_pk("u", "v").alias("__uv"))
-            .join(canon.select(_pk("u", "v").alias("__uv")), "__uv", "left_semi")
+            .join(build, "__uv", "left_semi")
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
     else:
-        tri = wedge.join(canon, ["u", "v"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_triangles")
-        )
+        tri = wedge.join(
+            canon if wedge_bloom else F.broadcast(canon),
+            ["u", "v"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_triangles"))
     # integer arithmetic throughout: deg·(deg−1) is even so `div 2` is
     # exact, and the decimal accumulator is exact past 2^53 — a double
     # sum would silently round the census on a graph with ≳9e7-degree
@@ -575,9 +597,19 @@ def khop_levels(
     only ever the build side of an anti-join on the node key. Early-exits
     when the frontier empties (one count per round, same probe budget as
     the CC loop)."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
-        F.col("s") != F.col("d")
-    ).distinct()
+    # materialize the canonicalized edge list ONCE: each round's frontier
+    # join (plus the empty-frontier probe) is a separate action, and
+    # across actions Spark rebuilds the physical plan — without this
+    # checkpoint the caller's edge derivation (here typically a lineitem
+    # self-join) and the distinct shuffle re-execute k+ times. Same
+    # persist-the-invariant pattern as pagerank's edges⋈outdeg and
+    # triangle_stats' canon frame.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
     visited = frontier.select("node", F.lit(0).alias("min_hop")).localCheckpoint()
     for hop in range(1, k + 1):

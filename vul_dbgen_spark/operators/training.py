@@ -165,6 +165,38 @@ def _fold_sigmoid(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _prehash_tokens(base: DataFrame, dim: int) -> DataFrame:
+    """(hs array<int>, y) — every token hashed to its bucket ONCE, in
+    document order, checkpointed. The md5 → conv → mod chain is the
+    per-iteration hot loop (it ran once in the sigmoid fold and AGAIN
+    in the gradient explode, per GD pass), but h(tok) is
+    weight-independent, so it hoists to one up-front transform. Folding
+    weight lookups over the prehashed array visits the same buckets in
+    the same order, so every IEEE-double sum — and hence the graded
+    weights — is bit-identical to the served token fold; the oracle is
+    untouched. localCheckpoint materializes ~|toks| ints + a double per
+    doc (smaller than the token strings) and truncates lineage so the
+    per-pass plan stays O(1)."""
+    return base.select(
+        F.transform(F.col("toks"), lambda t: hashed_dim(t, dim)).alias(
+            "hs"
+        ),
+        "y",
+    ).localCheckpoint()
+
+
+def _fold_sigmoid_prehashed(wv: Column, bias: Column, hs: Column) -> Column:
+    """sigmoid fold over PRE-HASHED bucket indices (array<int>) — the
+    training loop's twin of _fold_sigmoid. Visits the same buckets in
+    the same document order, so the accumulated double is bit-identical
+    to the token fold; only the per-element md5→conv→mod work (weight-
+    independent, hoisted to one up-front transform) is gone."""
+    z = F.aggregate(
+        hs, bias, lambda acc, h: acc + F.element_at(wv, h + F.lit(1))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def _with_weights(
     base: DataFrame, w: list[float], b: float
 ) -> DataFrame:
@@ -191,42 +223,33 @@ def hashed_logreg_train(
     ≤``dim`` partial-agg rows. The driver collects ≤``dim``+1 scalars
     per iteration (the same bounded-collect contract as the k-means
     trainer). ``base`` must have columns ``toks`` (array<string>) and
-    ``y`` (double 0/1)."""
-    # materialize the token projection ONCE — every iteration re-reads
-    # the stored arrays instead of re-tokenizing the corpus (measured:
-    # tokenization dominates the per-iteration scan; this is the
-    # persist-the-features step the 100 TB cost model prescribes).
-    # localCheckpoint also truncates lineage so the plan stays O(1)
-    # across iterations; block release follows the iterative-operator
-    # precedent (bench/_release_state, graph.py). Callers that already
-    # checkpointed (to share the projection with a post-training scan)
-    # pass prepared=True.
-    if not prepared:
-        base = base.localCheckpoint()
-    n_docs = float(base.count())
+    ``y`` (double 0/1). ``prepared=True`` documents that the caller
+    already checkpointed ``base`` (for a post-training serving scan);
+    the training loop itself iterates over the prehashed projection
+    below either way, reading ``base`` exactly once."""
+    return _train_on_prehashed(_prehash_tokens(base, dim), dim, lr, iters)
+
+
+def _train_on_prehashed(
+    hb: DataFrame, dim: int, lr: float, iters: int
+) -> tuple[float, list[float]]:
+    n_docs = float(hb.count())
     w = [0.0] * dim
     b = 0.0
-    # one sentinel pseudo-token per document makes the bias gradient
-    # (Σ_docs r) fall out of the SAME explode→groupBy as the bucket
-    # gradients — ONE job per iteration instead of two. Callers' token
-    # arrays must not contain chr(1); functions/text.py:tokens emits
-    # [a-z0-9]+ only, so the catalog entries can't collide
-    sentinel = "\x01"
     for _ in range(iters):
-        s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), dim)
-        d = _with_weights(base, w, b).select(
-            F.concat(F.col("toks"), F.array(F.lit(sentinel))).alias(
-                "toks2"
-            ),
+        s = _fold_sigmoid_prehashed(F.col("wv"), F.col("b"), F.col("hs"))
+        # the appended -1 sentinel bucket per document makes the bias
+        # gradient (Σ_docs r) fall out of the SAME explode→groupBy as
+        # the bucket gradients — ONE job per iteration instead of two
+        # (−1 is outside the hash range, so no caller token-array
+        # precondition, unlike the former chr(1) pseudo-token)
+        d = _with_weights(hb, w, b).select(
+            F.concat(F.col("hs"), F.array(F.lit(-1))).alias("hs2"),
             (s - F.col("y")).alias("r"),
         )
         grads = (
-            d.select(F.explode("toks2").alias("tk"), "r")
-            .groupBy(
-                F.when(F.col("tk") == sentinel, F.lit(-1))
-                .otherwise(hashed_dim(F.col("tk"), dim))
-                .alias("dim")
-            )
+            d.select(F.explode("hs2").alias("dim"), "r")
+            .groupBy("dim")
             .agg(F.sum("r").alias("g"))
             .collect()
         )
@@ -246,15 +269,15 @@ def hashed_logreg_report(
 ) -> DataFrame:
     """Train, then emit the full frozen artifact: ('bias', b), one
     ('d<j>', w_j) row per hash bucket (untouched buckets stay exactly
-    0.0 on both engines), and the final train logloss."""
-    base = base.localCheckpoint()
-    b, w = hashed_logreg_train(
-        base, dim=dim, lr=lr, iters=iters, prepared=True
-    )
-    s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), dim)
+    0.0 on both engines), and the final train logloss. The logloss scan
+    reuses the training loop's prehashed projection — same fold order,
+    bit-identical loss to the served token fold."""
+    hb = _prehash_tokens(base, dim)
+    b, w = _train_on_prehashed(hb, dim, lr, iters)
+    s = _fold_sigmoid_prehashed(F.col("wv"), F.col("b"), F.col("hs"))
     y = F.col("y")
     loss = (
-        _with_weights(base, w, b)
+        _with_weights(hb, w, b)
         .agg(
             F.avg(
                 -(y * F.log(s) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - s))

@@ -7012,7 +7012,8 @@ def _hashed_logreg_prefix(
         )
         # sentinel pseudo-token chr(1): its dim=-1 group IS the bias
         # gradient (Σ_docs r) — one grouped aggregate per iteration,
-        # mirroring the Spark loop's single job
+        # mirroring the Spark loop's single job (which appends the -1
+        # bucket directly to its prehashed array; same groups, same r)
         parts.append(
             f"g{i} AS (SELECT CASE WHEN tk = chr(1) THEN -1 ELSE"
             f" ('0x' || substr(md5(tk), 1, 6))::INT % {dim} END"
@@ -7067,10 +7068,12 @@ def train_logreg_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing-trick logistic classifier, full-batch GD on token-count
     features against the 'mentions spark' weak label. Per iteration
     (operators/training.py:hashed_logreg_train): one residual scan with
-    the weight vector as a literal array (the inference plan itself),
-    bias gradient as avg(r), bucket gradients as ONE token-explode →
-    hash-bucket groupBy shuffle of ≤1024 partial-agg rows; the driver
-    collects ≤1025 scalars per pass. Closes the loop train → freeze →
+    the weight vector as a 1-row broadcast array, bias gradient as the
+    sentinel bucket's row, bucket gradients as ONE bucket-explode →
+    groupBy shuffle of ≤1025 partial-agg rows (token→bucket md5 hashing
+    hoisted to a single up-front transform — the fold visits the
+    prehashed buckets in document order, so sums are bit-identical to
+    the served token fold); the driver collects ≤1025 scalars per pass. Closes the loop train → freeze →
     infer → eval: the emitted (feature, weight) rows are drop-in
     replacements for the stand-in literals, and score_auc_trained_eval
     grades the resulting discrimination jump. Oracle unrolls the same
