@@ -200,6 +200,116 @@ def duplicated_substring_spans(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS fingerprinter). Returns one row per document:
+    (doc, fps array<bigint>) — the distinct set of selected k-gram
+    hashes.
+
+    Scheme: hash every character k-gram (md5 → first 15 hex digits →
+    60-bit int, the engine-independent hash used across this module),
+    slide a window of ``w`` consecutive hashes, select each window's
+    minimum. The winnowing guarantee: any substring match of length
+    ≥ k + w − 1 shares at least one selected fingerprint (every such
+    match spans a full hash window, and both copies select the same
+    minimum inside it); expected density is 2/(w+1) of the grams. The
+    classic tie rule (rightmost minimal hash) only affects selected
+    POSITIONS — the selected hash-value SET is tie-rule-independent, so
+    ``array_distinct`` over the window minima is exactly the
+    fingerprint set and is mirrorable in any engine.
+
+    Scale shape: entirely row-local — one narrow projection computes
+    the hash array, the window minima, and the distinct set in a single
+    whole-stage-codegen pass (O(len·w) comparisons per doc, no explode
+    until the caller joins on fingerprints, no shuffle at all here).
+    Compare ``duplicated_substring_spans`` (strided, alignment-
+    sensitive) — winnowing is the alignment-ROBUST variant: a copied
+    region ≥ k+w−1 chars is caught at ANY offset, which is why it is
+    the standard scheme for plagiarism/clone detection and char-level
+    near-dup mining.
+    """
+    n_grams = F.length("__t") - F.lit(k - 1)
+    # SQL-text expressions (the house rule for literal-heavy lambdas —
+    # one parse, pure codegen), textually mirrored by the DuckDB oracle
+    hs_sql = (
+        f"transform(sequence(1, length(__t) - {k - 1}), i -> "
+        f"CAST(conv(substr(md5(substr(__t, i, {k})), 1, 15), 16, 10)"
+        f" AS BIGINT))"
+    )
+    mins_sql = (
+        f"transform(sequence(1, greatest(1, size(__hs) - {w - 1})), "
+        f"j -> array_min(slice(__hs, j, {w})))"
+    )
+    return (
+        spread_small_scan(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        )
+        .select(
+            "doc",
+            F.when(n_grams >= 1, F.expr(hs_sql))
+            .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .alias("__hs"),
+        )
+        .select(
+            "doc",
+            F.when(
+                F.size("__hs") > 0,
+                F.array_distinct(F.expr(mins_sql)),
+            )
+            .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .alias("fps"),
+        )
+    )
+
+
+def winnow_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    w: int = 8,
+    min_shared: int = 3,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowing fingerprints:
+    documents sharing ≥ ``min_shared`` selected hashes, with the count.
+    Same pair-generation shape as ``ngram_jaccard_pairs`` (explode →
+    equi-join on the fingerprint → pair aggregate), and the same hot-key
+    remedy: ``max_fp_df`` drops fingerprints present in more than that
+    many documents before the self-join (tiny aggregate + broadcast
+    anti-join) — a boilerplate fingerprint shared by d docs otherwise
+    emits d² pair rows, the standard quadratic cliff of every
+    posting-list pair generator in this module."""
+    from pyspark import StorageLevel
+
+    # persist the compact per-doc fingerprint table: the posting explode
+    # feeds the hot-fp aggregate AND both self-join sides — without this
+    # the O(len) md5 chain + window minima recompute per consumer (the
+    # same rule as ngram_jaccard_pairs' shingle persist)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = fps.select("doc", F.explode("fps").alias("fp"))
+    if max_fp_df is not None:
+        hot = ex.groupBy("fp").count().filter(F.col("count") > max_fp_df)
+        ex = ex.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    return (
+        ex.alias("a")
+        .join(ex.alias("b"), "fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_containment(
     eval_df: DataFrame,
     train_df: DataFrame,

@@ -32,6 +32,8 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
+    winnow_duplicate_pairs,
+    winnow_fingerprints,
 )
 from ..operators.multimodal import (
     audio_features,
@@ -1458,6 +1460,88 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash agg, no joins)."""
     return duplicated_substring_spans(
         load(spark, sf_dir, "documents"), "doc_id", "text", span_len=64, stride=32
+    )
+
+
+# winnowing (SIGMOD'03) shared oracle CTEs: char-7-gram 60-bit md5
+# hashes in document order, window-of-8 minima, distinct value set.
+# Textually mirrors operators/dedup.py:winnow_fingerprints — Spark's
+# conv(substr(md5(.),1,15),16,10)::BIGINT and DuckDB's
+# ('0x'||substr(md5(.),1,15))::BIGINT parse the same 60-bit hex, and
+# the selected-minima VALUE set is tie-rule independent, so both
+# engines compute the identical fingerprint sets.
+_WINNOW_FPS_CTE = """
+    WITH hs AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 7 THEN
+               list_transform(generate_series(1, length(text) - 6),
+                 i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 7)),
+                       1, 15))::BIGINT)
+             ELSE [] END AS hs
+      FROM documents),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) > 0 THEN
+               list_distinct(list_transform(
+                 generate_series(1, greatest(1, len(hs) - 7)),
+                 j -> list_min(hs[CAST(j AS INT):CAST(j + 7 AS INT)])))
+             ELSE [] END AS fps
+      FROM hs)
+"""
+
+
+@register(
+    "dedup_winnowing_fps",
+    f"""{_WINNOW_FPS_CTE}
+    SELECT doc_id, len(fps) AS n_fps,
+           CAST(list_min(fps) AS BIGINT) AS min_fp
+    FROM fps
+    """,
+    tags=["dedup", "winnowing", "fingerprint"],
+)
+def dedup_winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile (count + min selected
+    hash) — grades the fingerprint SETS the pair join below consumes.
+    Entirely row-local (operators/dedup.py:winnow_fingerprints): hash
+    array, window minima, and distinct set in one codegen pass; the only
+    shuffle-free entry in the pair-generating dedup family."""
+    fps = winnow_fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return fps.select(
+        F.col("doc").alias("doc_id"),
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    f"""{_WINNOW_FPS_CTE},
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    hot AS (SELECT fp FROM ex GROUP BY fp
+            HAVING count(*) > greatest(5, (SELECT count(*) FROM documents) // 250)),
+    ex2 AS (SELECT * FROM ex ANTI JOIN hot USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM ex2 a JOIN ex2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    bench=True,
+    tags=["dedup", "winnowing", "near-dup", "skew-capped"],
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (≥3 shared selected hashes) — the MOSS fingerprint-match join. The
+    alignment-ROBUST complement of dedup_substring_spans: winnowing
+    guarantees any copied region ≥ k+w−1 = 14 chars shares a selected
+    fingerprint at ANY offset, where the strided spans need aligned
+    copies. Pair generation is the module's standard posting shape
+    (explode → equi-join → pair aggregate) with the corpus-relative
+    hot-fingerprint cap mirrored in the oracle — same max(5, n/250)
+    arithmetic as dedup_ngram_jaccard_capped, same integer-only //
+    so both engines compute the identical cap."""
+    d = load(spark, sf_dir, "documents")
+    return winnow_duplicate_pairs(
+        d, "doc_id", "text", k=7, w=8, min_shared=3,
+        max_fp_df=_jaccard_cap(d.count()),
     )
 
 
@@ -8908,7 +8992,11 @@ GRADED_WINDOW: list[str] = [
     # to the round-4 PassJoin family — a new operator family should
     # carry a driver-graded row, not rest on the local replica alone
     "fuzzy_pairs_hamming",
-    "fuzzy_pairs_edit1",
+    # fuzzy_pairs_edit1 ceded its slot (green r04 local parity; the
+    # fuzzy family keeps fuzzy_pairs_hamming in-window) to the
+    # winnowing fingerprint join — a new operator family should carry a
+    # driver-graded row, not rest on the local replica alone
+    "dedup_winnowing_pairs",
     "dedup_ppjoin_tokens",
     "asof_order_before_event",
     "langid_accuracy_eval",
