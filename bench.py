@@ -219,6 +219,10 @@ def main() -> None:
             # gapfill: after the first (key,bucket) agg, cost is
             # O(keys × buckets) — sf1 grows keys 10x, window stays 720h
             "ts_gapfill_locf",
+            # synchronous LPA: per round one edges⋈labels join + two
+            # node-key aggregates — linear in |E| at fixed rounds; the
+            # co-purchase graph grows exactly 10x on replicated shards
+            "graph_label_propagation",
         ]
         # semdedup_pairs is deliberately NOT here: the graded artifact
         # freezes k=8, and with k fixed the within-cluster pair volume
@@ -250,6 +254,7 @@ def main() -> None:
         slow_twice = {
             "graph_triangle_stats", "graph_khop_reach",
             "dedup_clusters", "graph_pagerank_parts",
+            "graph_label_propagation",
         }
         for name in heavy:
             spec = REGISTRY[name]

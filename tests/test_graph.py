@@ -295,3 +295,55 @@ def test_triangle_stats_huge_ids_fallback_identical(spark):
     # the negative-id variant still runs (fallback path) and counts the
     # same wedges minus those lost by splitting node 1
     assert rh["n_triangles"] >= 2
+
+
+def test_label_propagation_two_communities(spark):
+    from vul_dbgen_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge; hand-unrolled recurrence:
+    # l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    # l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    # l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src: long, dst: long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_isolated_and_superset(spark):
+    from vul_dbgen_spark.operators.graph import label_propagation
+
+    # a triangle (converges to all-1 by round 2: r1={1:2,2:1,3:1},
+    # r2 = everyone's neighborhood majority/min is 1) plus an isolated
+    # vertex, which must keep its own label. NB a single edge would
+    # OSCILLATE under synchronous LPA (the classic 2-cycle) — that
+    # behavior is inherent to the synchronous variant, not a bug.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src: long, dst: long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id: long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, vertices=verts, iterations=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_label_propagation_min_label_tie_break(spark):
+    from vul_dbgen_spark.operators.graph import label_propagation
+
+    # star center 5 with leaves 1..4: round 1 gives the center a 4-way
+    # tie -> min label 1; each leaf sees only {5} -> 5
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (5, 4)], "src: long, dst: long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert got == {5: 1, 1: 5, 2: 5, 3: 5, 4: 5}

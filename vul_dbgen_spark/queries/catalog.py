@@ -54,6 +54,7 @@ from ..operators.graph import (
     component_summary,
     connected_components,
     khop_levels,
+    label_propagation,
     pagerank,
     triangle_stats,
 )
@@ -6718,6 +6719,60 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertices_are_superset=True,
     )
     return pr.select(F.col("node").alias("p_partkey"), "rank")
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Synchronous LPA unrolled: per round, neighbor-label counts, then
+    the (count DESC, label ASC) argmax per node via row_number — the
+    exact recurrence of operators/graph.py:label_propagation (integer
+    counts + deterministic min-label tie-break ⇒ engine-independent)."""
+    sql = f"""
+    WITH cooc AS ({_COOC_EDGES_SQL}),
+    sym AS (SELECT u, v FROM cooc UNION ALL SELECT v AS u, u AS v FROM cooc),
+    nodes AS (SELECT p_partkey AS node FROM part),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+    c{k} AS (SELECT s.v AS node, l.label, count(*) AS c
+             FROM sym s JOIN l{k} l ON l.node = s.u GROUP BY 1, 2),
+    b{k} AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label ASC) AS rn
+               FROM c{k}) WHERE rn = 1),
+    l{k + 1} AS (SELECT l.node, coalesce(b.label, l.label) AS label
+                 FROM l{k} l LEFT JOIN b{k} b ON b.node = l.node)"""
+    sql += f"""
+    SELECT node, label FROM l{iters}
+    """
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(3),
+    bench=True,
+    tags=["graph", "community", "lpa", "iterative"],
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the undirected co-purchase graph:
+    synchronous label propagation, 3 fixed rounds, min-label tie-break —
+    deterministic, hence graded against a 3-level unrolled SQL oracle
+    exactly (integer neighbor counts, no floats anywhere). Every part is
+    a vertex (FK superset, as for pagerank); isolated parts keep their
+    own id = singleton communities. Scale notes in
+    operators/graph.py:label_propagation (two shuffles per round, edge
+    list materialized once, O(1) plan via localCheckpoint)."""
+    parts = load(spark, sf_dir, "part").select("p_partkey")
+    out = label_propagation(
+        _cooc_edges(spark, sf_dir),
+        "u",
+        "v",
+        vertices=parts,
+        id_col="p_partkey",
+        iterations=3,
+    )
+    return out.select("node", F.col("label").cast("bigint").alias("label"))
 
 
 def _khop_oracle(k: int = 3) -> str:
