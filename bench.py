@@ -164,6 +164,19 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        # fresh SparkContext for the scaling section: after ~45 sf0.1
+        # queries + the e2e pipeline, the shared JVM carries heap
+        # fragmentation and block-manager residue that _release_state's
+        # unpersist+GC does not fully return, and the GC-heavy sf1
+        # graph/clustering rows inherit it (measured in one run:
+        # triangle 65 s / clusters 23 s late-JVM vs 21-36 s / 13 s in a
+        # fresh JVM running the identical code). The slope claims are
+        # about the OPERATORS, not about 45 queries of prior tenancy —
+        # restart the context so sf1 rows measure what a standalone run
+        # measures. (The sf0.1 numbers keep the shared session: each is
+        # protected by its own untimed warm run and best-of-3.)
+        spark.stop()
+        spark = get_spark("vul_dbgen_spark_bench_sf1")
         # dedup_embedding_lsh (0.40 threshold, 8x4 bands) is deliberately
         # NOT here: on the near-uniform synthetic vectors the TRUE pair
         # count at 0.40 is Θ(n²) (701 pairs @ 2k vecs → ~70k @ 20k), so
