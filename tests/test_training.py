@@ -100,7 +100,7 @@ def test_hashed_logreg_closes_the_loop(spark, sf_dir):
         TX.tokens(F.col("text")).alias("toks"),
         F.expr(LOGREG_LABEL_SQL).alias("y"),
     ).localCheckpoint()
-    b, w = hashed_logreg_train(base, prepared=True)
+    b, w = hashed_logreg_train(base)
     s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), 1024)
     trained = roc_auc(
         _with_weights(base, w, b).select(
@@ -143,7 +143,7 @@ def test_trained_weights_drop_into_serving_fold(spark, sf_dir):
         F.expr(LOGREG_LABEL_SQL).alias("y"),
     ).localCheckpoint()
     b, w = hashed_logreg_train(
-        base.select("toks", "y"), iters=2, prepared=False
+        base.select("toks", "y"), iters=2
     )
     via_literal = base.select(
         "doc_id", hashed_linear_score(F.col("toks"), w, b).alias("s")

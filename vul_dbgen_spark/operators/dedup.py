@@ -292,7 +292,11 @@ def winnow_duplicate_pairs(
     # persist the compact per-doc fingerprint table: the posting explode
     # feeds the hot-fp aggregate AND both self-join sides — without this
     # the O(len) md5 chain + window minima recompute per consumer (the
-    # same rule as ngram_jaccard_pairs' shingle persist)
+    # same rule as ngram_jaccard_pairs' shingle persist). Release is
+    # deferred to the caller's session hygiene (bench/parity
+    # _release_state unpersists every persistent RDD between queries) —
+    # the returned frame is lazy, so an eager unpersist here would undo
+    # the sharing before anything executed
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist(
         StorageLevel.MEMORY_AND_DISK
     )

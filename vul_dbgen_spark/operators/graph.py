@@ -343,6 +343,12 @@ def triangle_stats(
     n_edges = _st["n"]
     if wedge_bloom is None:
         wedge_bloom = n_edges > 20_000_000
+    # the explicit broadcast hint on the closing join is only safe while
+    # the edge set is genuinely broadcast-scale; an explicit
+    # wedge_bloom=False on a huge graph must not override Spark's size
+    # safety and OOM the executors, so the hint carries its own gate
+    # (same threshold) instead of piggybacking on the bloom decision
+    _force_bc = n_edges <= 20_000_000
     if wedge_bloom:
         # edge-set bloom: ~8 bits/edge (power of two, capped at
         # 2^24 = 2 MiB packed — broadcast-scale)
@@ -402,7 +408,7 @@ def triangle_stats(
         # broadcast; there the bloom prunes the wedges and the shuffle
         # is the designed plan, so the hint stays off.
         build = canon.select(_pk("u", "v").alias("__uv"))
-        if not wedge_bloom:
+        if not wedge_bloom and _force_bc:
             build = F.broadcast(build)
         tri = (
             wedge.select(_pk("u", "v").alias("__uv"))
@@ -411,7 +417,7 @@ def triangle_stats(
         )
     else:
         tri = wedge.join(
-            canon if wedge_bloom else F.broadcast(canon),
+            F.broadcast(canon) if (not wedge_bloom and _force_bc) else canon,
             ["u", "v"],
             "left_semi",
         ).agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -603,13 +609,20 @@ def label_propagation(
     Scale shape, per round (mirrors the Pregel-without-Pregel plan):
     one join of the symmetrized edge list against the current labels,
     one (node, label) count aggregate, one max_by-struct argmax per node
-    — two shuffles on node keys, no windows over the edge stream; the
-    label frame is localCheckpoint-ed so the plan stays O(1) across
-    rounds, and the edge list materializes ONCE (the khop lesson: every
-    round is a separate action and would otherwise re-run the caller's
-    edge derivation). Labels must be numeric (node ids) — the argmax
-    packs (count, −label) into one struct max so the tie-break rides
-    the same aggregate, no second pass.
+    — no windows over the edge stream; the label frame is
+    localCheckpoint-ed so the plan stays O(1) across rounds, and the
+    edge list materializes ONCE (the khop lesson: every round is a
+    separate action and would otherwise re-run the caller's edge
+    derivation). Labels must be numeric (node ids) — the argmax packs
+    (count, −label) into one struct max so the tie-break rides the same
+    aggregate, no second pass. The keep-current-label rule for isolated
+    nodes rides the SAME aggregate too: a (node, current-label,
+    count=0) seed row is unioned into the neighbor counts, so the
+    argmax is total over all nodes and the old per-round
+    labels⋈best coalesce join — one extra node-key shuffle — is gone
+    (the seed loses to any real neighbor row because 0 < every count,
+    and a seed label coinciding with a neighbor label adds a separate
+    dominated row, never an inflated count).
     """
     sym = _symmetrize(edges, src, dst).localCheckpoint()
     endpoints = sym.select(F.col("u").alias("node")).distinct()
@@ -630,17 +643,14 @@ def label_propagation(
             .groupBy("n2", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        best = (
-            cnt.groupBy("n2")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select("n2", (-F.col("m.nl")).alias("__new"))
+        seed = labels.select(
+            F.col("node").alias("n2"), "label", F.lit(0).cast("long").alias("c")
         )
         labels = (
-            labels.join(best, labels["node"] == best["n2"], "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
-            )
+            cnt.unionByName(seed)
+            .groupBy("n2")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("label"))
             .localCheckpoint()
         )
     nodes.unpersist()

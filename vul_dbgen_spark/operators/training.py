@@ -211,7 +211,6 @@ def hashed_logreg_train(
     dim: int = 1024,
     lr: float = 0.5,
     iters: int = 3,
-    prepared: bool = False,
 ) -> tuple[float, list[float]]:
     """Train the hashing-trick logistic classifier that
     ``hashed_linear_score`` SERVES — token-count features hashed into
@@ -223,10 +222,8 @@ def hashed_logreg_train(
     ≤``dim`` partial-agg rows. The driver collects ≤``dim``+1 scalars
     per iteration (the same bounded-collect contract as the k-means
     trainer). ``base`` must have columns ``toks`` (array<string>) and
-    ``y`` (double 0/1). ``prepared=True`` documents that the caller
-    already checkpointed ``base`` (for a post-training serving scan);
-    the training loop itself iterates over the prehashed projection
-    below either way, reading ``base`` exactly once."""
+    ``y`` (double 0/1); the training loop iterates over the prehashed
+    checkpointed projection below, reading ``base`` exactly once."""
     return _train_on_prehashed(_prehash_tokens(base, dim), dim, lr, iters)
 
 

@@ -133,7 +133,11 @@ def _rebalance_starved_scan(spark: SparkSession, df: DataFrame, path: str) -> Da
     # memoize the starved-scan probe per (path, size): df.rdd forces a
     # physical plan of the scan (~0.1-0.3 s of driver work) and the
     # answer is a pure function of the file layout, which every catalog
-    # query re-reads identically
+    # query re-reads identically. The cache is module-level, so it
+    # deliberately SURVIVES a SparkContext restart (bench.py restarts
+    # before the sf1 section): that reuse is sound precisely because the
+    # answer is layout-determined, not session-determined — if the probe
+    # ever becomes session-dependent, key on spark.sparkContext.applicationId
     key = (path, size, cores)
     starved = _SCAN_STARVED_CACHE.get(key)
     if starved is None:
@@ -7278,7 +7282,7 @@ def score_auc_trained_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.tokens(F.col("text")).alias("toks"),
         F.expr(LOGREG_LABEL_SQL).alias("y"),
     ).localCheckpoint()
-    b, w = hashed_logreg_train(base, prepared=True)
+    b, w = hashed_logreg_train(base)
     s = _fold_sigmoid(F.col("wv"), F.col("b"), F.col("toks"), 1024)
     scored = _with_weights(base, w, b).select(
         F.round(s, 6).alias("score"), "y"
