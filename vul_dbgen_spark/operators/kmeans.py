@@ -254,6 +254,87 @@ def semdedup_keep(
     )
 
 
+def _int_cos_cond(tau2_num: int, tau2_den: int):
+    """The shared integer-exact cosine-threshold predicate over
+    micro-unit columns (dot_uu, n2d, n2c): cos >= τ with τ² =
+    tau2_num/tau2_den becomes dot > 0 AND den·dot² >= num·‖a‖²·‖b‖² in
+    decimal(38,0) — no float in the decision, so it hash-grades against
+    DuckDB's HUGEINT mirror."""
+    return F.expr(
+        f"dot_uu > 0 AND CAST({tau2_den} AS DECIMAL(38,0))"
+        " * CAST(dot_uu AS DECIMAL(38,0)) * CAST(dot_uu AS DECIMAL(38,0))"
+        f" >= CAST({tau2_num} AS DECIMAL(38,0))"
+        " * CAST(n2d AS DECIMAL(38,0)) * CAST(n2c AS DECIMAL(38,0))"
+    )
+
+
+def semdedup_routed_incremental(
+    corpus_emb: DataFrame,
+    delta_emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    dim: int = KMEANS_DIM,
+    tau2_num: int = 4,
+    tau2_den: int = 25,
+) -> DataFrame:
+    """The COMPOSED SemDeDup production path, end-to-end in one plan:
+    route every vector through a FROZEN serving IVF centroid artifact
+    (the ann_ivf_kmeans_topk index — an offline-trained, never-retrained
+    literal table, operators/ivf_centroids.py), then screen each delta
+    vector against same-cell corpus vectors with the integer-exact
+    cosine test. This is the "k ∝ n via ANN routing" posture the
+    semdedup_pairs docstring asserts, exercised as one graded query
+    rather than inherited from two separate families.
+
+    Scale shape: the routing argmin is a pure codegen column expression
+    (k×dim literals, no shuffle); the delta is a bounded ingest batch
+    that BROADCASTS into the cell join, so the standing corpus is
+    scanned once and never shuffled — per-corpus-row work is one hash
+    probe plus |delta∩cell| integer dots. Total cost is
+    Θ(|corpus|·k/dim-ops + |delta|·|cell|): linear in the corpus at
+    bounded batch size, and the per-vector |cell| ≈ n/k term is held
+    constant in production by serving a bigger artifact as the corpus
+    grows (k ∝ n) — the artifact swap changes literals, not this plan.
+    Returns (vec_id, cell, is_dup) for every delta vector."""
+    from .similarity import _argmin_centroid
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            _argmin_centroid("embedding", centroids).alias("cell"),
+            F.expr(quantize_sql("embedding", dim)).alias("v"),
+        )
+
+    corpus = prep(corpus_emb).select(
+        "cell",
+        F.col("v").alias("vc"),
+        F.expr(dot_sql("v", "v", dim)).alias("n2c"),
+    )
+    # the bounded delta is read twice (screen + final verdict join):
+    # checkpoint the ≤batch-size rows so the parquet scan and the
+    # routing argmin run once
+    delta = (
+        prep(delta_emb)
+        .withColumn("n2d", F.expr(dot_sql("v", "v", dim)))
+        .localCheckpoint()
+    )
+    pair = corpus.join(F.broadcast(delta), "cell").withColumn(
+        "dot_uu", F.expr(dot_sql("v", "vc", dim))
+    )
+    matched = (
+        pair.filter(_int_cos_cond(tau2_num, tau2_den))
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        delta.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .join(matched, "vec_id", "left")
+        .select(
+            "vec_id", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )
+
+
 def semdedup_incremental(
     corpus_emb: DataFrame,
     delta_emb: DataFrame,
@@ -288,14 +369,8 @@ def semdedup_incremental(
     pair = base_d.join(base_c, "cid").withColumn(
         "dot_uu", F.expr(dot_sql("v", "vc", dim))
     )
-    cond = F.expr(
-        f"dot_uu > 0 AND CAST({tau2_den} AS DECIMAL(38,0))"
-        " * CAST(dot_uu AS DECIMAL(38,0)) * CAST(dot_uu AS DECIMAL(38,0))"
-        f" >= CAST({tau2_num} AS DECIMAL(38,0))"
-        " * CAST(n2d AS DECIMAL(38,0)) * CAST(n2c AS DECIMAL(38,0))"
-    )
     matched = (
-        pair.filter(cond)
+        pair.filter(_int_cos_cond(tau2_num, tau2_den))
         .select("vec_id")
         .distinct()
         .withColumn("is_dup", F.lit(True))
