@@ -8015,10 +8015,35 @@ def peak_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_e2e",
-    None,  # reads fixtures/vul-source (real advisory feeds), not the
-    # star schema — no DuckDB oracle; the composition's VALUES are
-    # golden-tested end-to-end in tests/test_sink.py (container
-    # round-trip, Go field order, reproducibility)
+    # reads fixtures/vul-source (real advisory feeds), not the star
+    # schema — so the oracle is the LITERAL expected per-namespace
+    # record counts (the same values tests/test_sink.py golden-pins via
+    # the container round-trip), emitted as a VALUES table. The
+    # fixtures are committed and the whole lineage is byte-deterministic
+    # (test_e2e_rebuild_is_byte_deterministic), so these are constants
+    # of the repo, not of the grading corpus; any regression in how the
+    # stages COMPOSE (a lost upsert tie-break, a changed gate) moves a
+    # count and hash-mismatches loudly instead of passing a rows-only
+    # check.
+    """
+    SELECT side, namespace, n_records FROM (VALUES
+      ('app', 'apps', CAST(20 AS BIGINT)),
+      ('os', 'alpine:3.18', 2), ('os', 'amzn:2', 1), ('os', 'amzn:2023', 1),
+      ('os', 'centos:7', 4), ('os', 'centos:8', 1),
+      ('os', 'chainguard:rolling', 2),
+      ('os', 'debian:10', 3), ('os', 'debian:11', 1), ('os', 'debian:12', 1),
+      ('os', 'debian:9', 2), ('os', 'debian:unstable', 1),
+      ('os', 'mariner:1.0', 2),
+      ('os', 'oracle:7', 1), ('os', 'oracle:8', 1),
+      ('os', 'photon:1', 1), ('os', 'photon:3', 4),
+      ('os', 'rocky:8', 1), ('os', 'rocky:9', 2),
+      ('os', 'sles:15.3', 1),
+      ('os', 'ubuntu:14.04', 1), ('os', 'ubuntu:16.04', 2),
+      ('os', 'ubuntu:18.04', 2), ('os', 'ubuntu:20.04', 1),
+      ('os', 'ubuntu:21.04', 1), ('os', 'ubuntu:upstream', 1),
+      ('os', 'wolfi:rolling', 2)
+    ) AS t(side, namespace, n_records)
+    """,
     tags=["pipeline", "e2e", "composition"],
 )
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9225,6 +9250,25 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of which hold green r03 driver rows (w1 keeps the window family;
 # langid_accuracy_eval keeps the text family;
 # sample_stratified keeps the sampling family).
+# Round-5 rotation (VERDICT r4 directive #4): 17 slots moved from entries
+# holding green CORRECTNESS_r04 driver rows to never-driver-graded
+# entries — in: the round-5 capped fuzzy-join twins + the uncapped edit1
+# differential, the composed routed-SemDeDup scale path, pipeline_e2e
+# (now carrying a literal VALUES oracle per directive #7), the full
+# time-series family (locf/interp/ohlc), audio PCM features, hybrid RRF,
+# the LSH recall eval, bigram LM xent, scorer calibration, two fresh
+# stateful-streaming compositions (session windows, join→window), and
+# TPC-H/window breadth (q2, w7). Out (every one keeps its green r04
+# driver row + full local parity, and its family keeps a window rep):
+# fuzzy_pairs_hamming (capped twins + edit1 now grade the family),
+# dedup_winnowing_pairs, dedup_ppjoin_tokens, asof_order_before_event,
+# langid_accuracy_eval, train_bpe_merges (bpe_pair_counts stays),
+# dedup_ngram_jaccard_capped, decontaminate_eval, dsir_importance_topk,
+# ann_pq_adc_topk + ann_ivfpq_topk (ann_ivf_kmeans_topk stays),
+# export_shard_stats, topk_parts_per_supplier, bloom_screen_orders
+# (bloom_prefilter_join + cms stay), mm_header_probe,
+# stream_interval_join + stream_dedup_then_window (tumbling stays, two
+# new stream shapes come in).
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -9240,51 +9284,32 @@ GRADED_WINDOW: list[str] = [
     "k1_bucket_split",
     "u1_union_dedup",
     "w1_running_total",
-    # q21 ceded its slot (green r03 driver row + local parity retained)
-    # to the round-4 PassJoin family — a new operator family should
-    # carry a driver-graded row, not rest on the local replica alone
-    "fuzzy_pairs_hamming",
-    # fuzzy_pairs_edit1 ceded its slot (green r04 local parity; the
-    # fuzzy family keeps fuzzy_pairs_hamming in-window) to the
-    # winnowing fingerprint join — a new operator family should carry a
-    # driver-graded row, not rest on the local replica alone
-    "dedup_winnowing_pairs",
-    "dedup_ppjoin_tokens",
-    "asof_order_before_event",
-    "langid_accuracy_eval",
-    # q17 (scalar-subquery threshold) ceded its slot: q22/q11 grade the
-    # identical shape in the local full-parity artifact
-    # Final round-4 rotation: the session's three new flagship families
-    # take the slots of three r03-driver-green entries whose families
-    # keep other window representatives — dedup_exact and
-    # dedup_substring_spans ceded to the BPE trainer and DSIR selection
-    # (dedup keeps ngram_capped/minhash_capped/incremental/clusters/
-    # embedding_lsh/ppjoin in-window), tfidf_top_terms ceded to the
-    # shard-export manifest (bm25_topk keeps lexical ranking graded)
-    "train_bpe_merges",
-    "dedup_ngram_jaccard_capped",
-    "decontaminate_eval",
-    "dsir_importance_topk",
+    "pipeline_e2e",
+    "fuzzy_pairs_hamming_capped",
+    "fuzzy_pairs_edit1_capped",
+    "fuzzy_pairs_edit1",
+    "semdedup_routed_incremental",
+    "ts_gapfill_locf",
+    "ts_gapfill_interp",
+    "ts_ohlc_daily",
+    "mm_audio_pcm_features",
+    "hybrid_search_rrf",
+    "dedup_lsh_recall_eval",
+    "doc_bigram_logxent",
+    "score_calibration_eval",
+    "stream_session_windows",
+    "stream_join_then_window",
+    "q2_min_cost_supplier",
+    "w7_percentile_ranks",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
     "train_logreg_hashed",
-    # skew_salted_agg ceded (green r03 driver row; salting family keeps
-    # the local-parity join twin) to the in-engine k-means trainer
     "train_kmeans_lloyd",
     "bm25_topk",
-    # ann_ivf_topk (zero-training fallback) ceded its slot to the
-    # k-means twin, which subsumes it
     "ann_ivf_kmeans_topk",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
     "dedup_embedding_lsh",
-    # range_join_ship_window ceded (green r03 driver row; interval/range
-    # shapes stay graded via stream_interval_join + asof) to SemDeDup —
-    # a new family should carry a driver row, not rest on local parity
     "semdedup_pairs",
     "dedup_clusters",
-    "export_shard_stats",
-    "topk_parts_per_supplier",
     "score_auc_trained_eval",
     "bpe_pair_counts",
     "sample_stratified",
@@ -9292,13 +9317,9 @@ GRADED_WINDOW: list[str] = [
     "graph_pagerank_parts",
     "graph_triangle_stats",
     "bloom_prefilter_join",
-    "bloom_screen_orders",
     "cms_token_counts",
-    "mm_header_probe",
     "dedup_cdc_chunks",
     "stream_tumbling_counts",
-    "stream_interval_join",
-    "stream_dedup_then_window",
 ]
 
 
