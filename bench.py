@@ -31,6 +31,17 @@ def _release_state(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def _loadavg() -> float | None:
+    """1-minute load average, rounded — the per-query tenancy record.
+    Round 4's official artifact read as a uniform 1.5x regression that
+    forensics traced to neighbor load; embedding the machine condition
+    per query lets the artifact self-certify (or indict) its run."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,30 +92,69 @@ def main() -> None:
     # min still inherits one bad draw too often. The third sample costs
     # ~1 min at sf0.1 and stabilizes the min to the warm-engine number.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def timed_draws(spec, d: str, n_draws: int) -> tuple[list[float], int]:
+        """One untimed warm run (plan-specific codegen/classloading
+        belongs to JVM warmup, not the engine — measured 1.5-2x on the
+        first draw even after the generic warmup above), then n timed
+        draws of the full lineage (state released between draws, so the
+        repeat removes load spikes, not work)."""
+        draws, n = [], 0
+        for i in range(n_draws + 1):
+            _release_state(spark)
+            t0 = time.perf_counter()
+            n = spec.fn(spark, d).count()
+            if i > 0:
+                draws.append(time.perf_counter() - t0)
+        return draws, n
+
+    # condition canary, start-of-run reading: q1 is a light scan-agg
+    # (no GC-heavy state), so its drift between the first and last
+    # moments of the bench measures the MACHINE, not the engine. The
+    # round-4 official artifact was silently load-contaminated (uniform
+    # ~1.5x vs matched-conditions runs); with the canary pair + the
+    # per-query loadavg below, an artifact now carries the evidence to
+    # distinguish tenancy from regression.
+    canary_spec = REGISTRY["q1_pricing_summary"]
+    # 3 timed draws: the very first q1 lineage still pays residual
+    # engine warmup beyond the generic pass above (measured 0.46 s vs a
+    # settled 0.27 s at sf0.01) and an inflated baseline would mask a
+    # real end-of-run slowdown
+    canary_start = min(timed_draws(canary_spec, sf_dir, 3)[0])
+    loadavg_start = _loadavg()
+    print(f"# canary q1 start: {canary_start:.3f}s (loadavg {loadavg_start})",
+          file=sys.stderr)
+
     timings: dict[str, float] = {}
+    all_draws: dict[str, list[float]] = {}
+    loadavgs: dict[str, float | None] = {}
     total = 0.0
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
-        best, n = float("inf"), 0
-        # iteration 0 is an untimed warm run: the first execution of a
-        # lineage pays plan-specific codegen/classloading that belongs
-        # to JVM warmup, not the engine (measured 1.5-2x on the first
-        # draw even with the generic warmup above)
-        for i in range(repeats + 1):
-            _release_state(spark)
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            n = df.count()
-            if i == 0:
-                continue
-            best = min(best, time.perf_counter() - t0)
+        loadavgs[name] = _loadavg()
+        draws, n = timed_draws(spec, sf_dir, repeats)
+        # a >1.5x spread between draws of identical work means a
+        # neighbor burst landed inside the sample — take one more draw
+        # so the min is less likely to inherit the contaminated reading
+        if max(draws) / min(draws) > 1.5:
+            extra, n = timed_draws(spec, sf_dir, 1)
+            draws += extra
+        best = min(draws)
         timings[name] = round(best, 3)
+        all_draws[name] = [round(d, 3) for d in draws]
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         # a benched query that returns 0 rows measures an AQE-propagated
         # empty plan, not the operator (round 2's q9); fail loudly
         assert spec.expect_empty or n > 0, f"{name}: 0 rows — bench is vacuous"
+
+    canary_end = min(timed_draws(canary_spec, sf_dir, 3)[0])
+    loadavg_end = _loadavg()
+    drift = round(canary_end / canary_start, 2)
+    print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
+          f"drift {drift}x{' ** CONTAMINATED RUN' if drift > 1.3 else ''})",
+          file=sys.stderr)
 
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -112,6 +162,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "draws": all_draws,
+        "loadavg": loadavgs,
+        "canary": {
+            "query": "q1_pricing_summary",
+            "start_sec": round(canary_start, 3),
+            "end_sec": round(canary_end, 3),
+            "drift": drift,
+            "loadavg_start": loadavg_start,
+            "loadavg_end": loadavg_end,
+        },
     }
 
     # ---- end-to-end reference pipeline (fixture scale) ---------------------
@@ -232,10 +292,25 @@ def main() -> None:
             # gapfill: after the first (key,bucket) agg, cost is
             # O(keys × buckets) — sf1 grows keys 10x, window stays 720h
             "ts_gapfill_locf",
-            # synchronous LPA: per round one edges⋈labels join + two
-            # node-key aggregates — linear in |E| at fixed rounds; the
+            # synchronous LPA: per round one edges⋈labels join + one
+            # total argmax aggregate (the keep-current rule rides a
+            # count=0 seed row) — linear in |E| at fixed rounds; the
             # co-purchase graph grows exactly 10x on replicated shards
             "graph_label_propagation",
+            # capped fuzzy joins (round-4 directive #1): the hot-bucket
+            # cap turns the PassJoin candidate cliff (uncapped measured
+            # 30x at 10x docs) into ~4.6x; the SymSpell twin's finer
+            # variant blocking holds ~2.3x. Both run on the organic
+            # Zipfian document-prefix corpus — see the entries'
+            # docstrings for why dense sequential c_name keys cannot
+            # exercise a df cap (uniform buckets, no hot head).
+            "fuzzy_pairs_hamming_capped", "fuzzy_pairs_edit1_capped",
+            # SemDeDup production paths (round-4 directives #5/#8): the
+            # delta-vs-corpus screen (|delta|x|cluster|, Lloyd trained
+            # on the corpus) and the composed frozen-IVF routed screen
+            # (bounded batch broadcast into the cell join — corpus
+            # scanned once, never shuffled; measured ~1.1x at 10x)
+            "semdedup_incremental", "semdedup_routed_incremental",
         ]
         # semdedup_pairs is deliberately NOT here: the graded artifact
         # freezes k=8, and with k fixed the within-cluster pair volume
@@ -245,20 +320,22 @@ def main() -> None:
         # linear but turns the n×k Lloyd assignment quadratic in turn;
         # the 100 TB answer is routing vectors to centroids through the
         # ANN family (IVF cells, benched above), not a bigger flat
-        # argmin. The k=8 entry grades the algebra; the scale posture is
-        # inherited from the benched IVF + banded-LSH paths.
-        # fuzzy_pairs_hamming is deliberately NOT in the sf1 list, for
-        # the same Θ(n²)-by-problem-statement reason as the ngram pair
-        # queries: c_name is 9 constant chars + a dense sequential
-        # 9-digit id, so the pigeonhole class keys draw from a tiny
-        # digit-pattern space and candidate volume is Σ bucket² ≈
-        # n²/|keyspace| (measured 1.86M candidates at 15k rows; ~75M at
-        # 150k — ~40x at 10x data). True d1 pairs grow linearly (each id
-        # has ≤ ~80 one-digit neighbors); it is the blocking that
-        # saturates on low-entropy keys. On organic entity strings the
-        # key space grows with the corpus and the join stays
-        # candidate-bound; the hot-bucket cap (max_key_df) is the
-        # operator's documented remedy when it does not.
+        # argmin. The k=8 entry grades the algebra; the production
+        # postures are benched DIRECTLY in the heavy list:
+        # semdedup_incremental (delta-vs-corpus screen) and
+        # semdedup_routed_incremental (frozen-IVF routed screen).
+        # fuzzy_pairs_hamming (the UNCAPPED customer-name entry) is
+        # deliberately NOT in the sf1 list, for the same
+        # Θ(n²)-by-problem-statement reason as the ngram pair queries:
+        # c_name is 9 constant chars + a dense sequential 9-digit id,
+        # so the pigeonhole class keys draw from a tiny digit-pattern
+        # space and candidate volume is Σ bucket² ≈ n²/|keyspace|
+        # (measured 1.86M candidates at 15k rows; ~75M at 150k — ~40x
+        # at 10x data). True d1 pairs grow linearly; it is the blocking
+        # that saturates on low-entropy keys. The family's scale story
+        # is now MEASURED, not asserted: the capped twins in the heavy
+        # list above run the same operators on organic Zipfian keys
+        # with the max_key_df hot-bucket cap (round-4 directive #1).
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         # the GC-heavy iterative/graph entries swing 2-4x run to run at
@@ -338,9 +415,29 @@ def main() -> None:
         # fixtures/sf{3,10}docs; 150k/500k docs) add the points where data
         # cost becomes visible; ≈ linear in corpus size is the pass
         # condition for the append-only band-index design.
+        # the doc slices are gitignored (150k/500k-row parquet) and were
+        # absent at round 4's final run, which silently dropped the
+        # scale rows from the committed artifact — regenerate them
+        # deterministically (seeded) instead of skipping, so the HEAD
+        # artifact always carries the slope evidence
         incr_points: dict[str, float] = {}
         for tag in ("sf3", "sf10"):
             pdir = os.path.join(os.path.dirname(sf1_dir), f"{tag}docs")
+            if (
+                not os.path.isdir(pdir)
+                and os.environ.get("SPARK_GRAFT_SKIP_SCALEGEN") != "1"
+            ):
+                import subprocess
+
+                print(f"# generating {tag}docs slice (seeded, one-time)...",
+                      file=sys.stderr)
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tools", "gen_sf3_docs.py"),
+                     tag, pdir],
+                    check=True,
+                )
             if not os.path.isdir(pdir):
                 continue
             spec = REGISTRY["dedup_incremental"]
