@@ -473,7 +473,14 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
-    print(json.dumps(payload))
+    # the printed contract line stays COMPACT: the driver captures the
+    # tail of stdout and has truncated long lines mid-JSON before
+    # ("parsed": null in BENCH_r03/r04) — the per-draw and per-query
+    # loadavg detail lives in the committed BENCH_result.json, and the
+    # canary (the one condition signal a reader needs first) is small
+    # enough to keep inline.
+    compact = {k: v for k, v in payload.items() if k not in ("draws", "loadavg")}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -326,9 +326,12 @@ def semdedup_routed_incremental(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
+    # matched ⊆ delta's vec_ids — bounded by the batch size, but Spark
+    # sizes it from the corpus-join lineage and flips the verdict join
+    # to sort-merge (snapshot-caught); broadcast is structural here
     return (
         delta.select("vec_id", F.col("cell").cast("int").alias("cell"))
-        .join(matched, "vec_id", "left")
+        .join(F.broadcast(matched), "vec_id", "left")
         .select(
             "vec_id", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
         )
