@@ -8808,6 +8808,7 @@ def _semdedup_incremental_oracle() -> str:
 @register(
     "semdedup_incremental",
     _semdedup_incremental_oracle(),
+    bench=True,  # sf0.1 baseline for the sf1 slope row (directive #8)
     tags=["dedup", "embedding", "semdedup", "incremental", "clustering"],
 )
 def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
