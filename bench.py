@@ -237,6 +237,13 @@ def main() -> None:
         # protected by its own untimed warm run and best-of-3.)
         spark.stop()
         spark = get_spark("vul_dbgen_spark_bench_sf1")
+        # the sf1 section gets its own canary pair: it is where round 4's
+        # contamination actually landed (graph rows), and the sf0.1-
+        # section canary certifies nothing about a section that runs
+        # 5-20 minutes later in a different JVM
+        sf1_canary_start = min(timed_draws(canary_spec, sf1_dir, 3)[0])
+        print(f"# canary q1@sf1 start: {sf1_canary_start:.3f}s "
+              f"(loadavg {_loadavg()})", file=sys.stderr)
         # dedup_embedding_lsh (0.40 threshold, 8x4 bands) is deliberately
         # NOT here: on the near-uniform synthetic vectors the TRUE pair
         # count at 0.40 is Θ(n²) (701 pairs @ 2k vecs → ~70k @ 20k), so
@@ -404,9 +411,21 @@ def main() -> None:
                 secs["sf1"] / secs["sf0.1"], 1
             )
 
+        sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
+        sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
+        print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
+              f"{_loadavg()}, drift {sf1_drift}x"
+              f"{' ** CONTAMINATED RUN' if sf1_drift > 1.3 else ''})",
+              file=sys.stderr)
         payload["sf1_queries"] = sf1_timings
         payload["sf1_ratio_vs_sf0.1"] = ratios
         payload["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        payload["sf1_canary"] = {
+            "query": "q1_pricing_summary",
+            "start_sec": round(sf1_canary_start, 3),
+            "end_sec": round(sf1_canary_end, 3),
+            "drift": sf1_drift,
+        }
 
         # ---- sf3/sf10 scaling points: the incremental screen's slope ------
         # dedup_incremental at sf1 is 0.9x vs sf0.1 — overhead-dominated,
