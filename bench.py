@@ -345,6 +345,7 @@ def main() -> None:
         # with the max_key_df hot-bucket cap (round-4 directive #1).
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
+        sf1_loadavgs: dict[str, float | None] = {}
         # the GC-heavy iterative/graph entries swing 2-4x run to run at
         # sf1 (allocation-churn draws); a second timed draw keeps their
         # headline ratios from inheriting one bad GC cycle
@@ -355,6 +356,7 @@ def main() -> None:
         }
         for name in heavy:
             spec = REGISTRY[name]
+            sf1_loadavgs[name] = _loadavg()
             best, n = float("inf"), 0
             draws = 3 if name in slow_twice else 2
             for i in range(draws):
@@ -426,6 +428,7 @@ def main() -> None:
             "end_sec": round(sf1_canary_end, 3),
             "drift": sf1_drift,
         }
+        payload["sf1_loadavg"] = sf1_loadavgs
 
         # ---- sf3/sf10 scaling points: the incremental screen's slope ------
         # dedup_incremental at sf1 is 0.9x vs sf0.1 — overhead-dominated,
@@ -498,7 +501,11 @@ def main() -> None:
     # loadavg detail lives in the committed BENCH_result.json, and the
     # canary (the one condition signal a reader needs first) is small
     # enough to keep inline.
-    compact = {k: v for k, v in payload.items() if k not in ("draws", "loadavg")}
+    compact = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("draws", "loadavg", "sf1_loadavg")
+    }
     print(json.dumps(compact))
 
 
