@@ -132,6 +132,67 @@ def test_incremental_screen_mirrors_batch_pairs(spark):
     assert 0 < n_dup < len(da)  # screen is non-vacuous both ways
 
 
+def test_routed_incremental_mirrors_brute_force(spark):
+    """semdedup_routed_incremental ≡ the hand-rolled reference: route
+    every vector to its max-cosine frozen centroid (ties → lowest id),
+    then screen each delta vector against same-cell corpus vectors with
+    the exact integer cosine test. Pins both halves of the composition
+    — the float routing argmin and the HUGEINT-scale screen — and that
+    the verdict stays non-vacuous in both directions."""
+    from vul_dbgen_spark.operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+    from vul_dbgen_spark.operators.kmeans import semdedup_routed_incremental
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    delta = emb.filter(F.col("vec_id") < 20)
+    out = {
+        r.vec_id: r
+        for r in semdedup_routed_incremental(
+            corpus, delta, KMEANS_CENTROIDS_SF001
+        ).collect()
+    }
+    assert len(out) == delta.count()
+
+    def route(vec):
+        best = None
+        for cid, c in KMEANS_CENTROIDS_SF001:
+            dot = sum(x * y for x, y in zip(vec, c))
+            cos = dot / (
+                math.sqrt(sum(x * x for x in vec))
+                * math.sqrt(sum(y * y for y in c))
+            )
+            # max cosine, ties toward the lowest centroid id — the
+            # _argmin_centroid order
+            if best is None or cos > best[0] + 0.0:
+                best = (cos, cid)
+        return best[1]
+
+    def quant(vec):
+        return [int(round(float(x) * 1_000_000.0)) for x in vec]
+
+    cells = {}
+    for r in corpus.collect():
+        cells.setdefault(route(r.embedding), []).append(quant(r.embedding))
+    n_dup = 0
+    for r in delta.collect():
+        cell = route(r.embedding)
+        assert out[r.vec_id].cell == cell
+        v = quant(r.embedding)
+        n2d = sum(x * x for x in v)
+        is_dup = False
+        for vc in cells.get(cell, []):
+            dot = sum(x * y for x, y in zip(v, vc))
+            if dot > 0 and 25 * dot * dot >= 4 * n2d * sum(y * y for y in vc):
+                is_dup = True
+                break
+        assert out[r.vec_id].is_dup == is_dup
+        n_dup += is_dup
+    assert 0 < len(out)  # routing is total
+    assert n_dup < len(out)  # screen is non-vacuous (not everything dups)
+
+
 def test_all_three_partitioning_invariant(spark):
     a1, a2 = _assigned(spark), _assigned(spark, repart=13)
     for fn in (
