@@ -114,7 +114,11 @@ def update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
             "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
         ).alias("c_new")
     )
-    return prev.join(new, "cid", "left").select(
+    # both sides are ≤k rows, but `new` descends from the full corpus
+    # aggregate so Spark's size estimate sort-merges the k×k carry join
+    # (one pointless exchange+sort pair per Lloyd round) — broadcast is
+    # structural for a centroid table
+    return prev.join(F.broadcast(new), "cid", "left").select(
         "cid", F.coalesce("c_new", "c").alias("c")
     )
 
@@ -412,8 +416,11 @@ def kmeans_report(assigned: DataFrame, cent: DataFrame) -> DataFrame:
             "aggregate(c, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("c_sum"),
     )
+    # stats is a ≤k-row aggregate but descends from the corpus scan, so
+    # the size estimate sort-merges this k×k join; broadcasting the
+    # preserved (left) side of the right-outer is structural
     return (
-        stats.join(fp, "cid", "right")
+        F.broadcast(stats).join(fp, "cid", "right")
         .select(
             "cid",
             F.coalesce("n_points", F.lit(0)).alias("n_points"),
