@@ -9270,6 +9270,13 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bloom_prefilter_join + cms stay), mm_header_probe,
 # stream_interval_join + stream_dedup_then_window (tumbling stays, two
 # new stream shapes come in).
+# Next-round rotation candidates (never driver-graded, green in local
+# full parity): the remaining 4 stream_* shapes, TPC-H breadth
+# (q6/q7/q8/q10/q12/q14/q15/q18/q19/q22, q11/q16/q20), w6/w7 twins,
+# ann_recall_eval + ann_pq_recall_eval, pack_sequences,
+# curation_pipeline_counts, dedup_lsh_jaccard_verify, sessionize/pivot/
+# unpivot, the maintenance family (compaction/z-order/lifecycle),
+# cluster_prototypes_topk, semdedup_keep, sample_cell_balanced.
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
