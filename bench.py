@@ -152,9 +152,18 @@ def main() -> None:
     canary_end = min(timed_draws(canary_spec, sf_dir, 3)[0])
     loadavg_end = _loadavg()
     drift = round(canary_end / canary_start, 2)
+    # two-sided flag (round-5 ADVICE): drift >1.3 means the END was
+    # loaded, but drift <1/1.3 means the START was — a run whose first
+    # canary absorbed a neighbor burst would otherwise self-certify
+    # clean with drift ≈ 0.7. High absolute start loadavg is flagged
+    # independently for the same reason.
+    contaminated = drift > 1.3 or drift < (1 / 1.3)
     print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
-          f"drift {drift}x{' ** CONTAMINATED RUN' if drift > 1.3 else ''})",
+          f"drift {drift}x{' ** CONTAMINATED RUN' if contaminated else ''})",
           file=sys.stderr)
+    if loadavg_start is not None and loadavg_start > 16:
+        print(f"# ** HIGH START LOADAVG {loadavg_start} — start canary may be "
+              f"inflated; treat drift<1 readings as suspect", file=sys.stderr)
 
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -169,6 +178,7 @@ def main() -> None:
             "start_sec": round(canary_start, 3),
             "end_sec": round(canary_end, 3),
             "drift": drift,
+            "contaminated": contaminated,
             "loadavg_start": loadavg_start,
             "loadavg_end": loadavg_end,
         },
@@ -415,9 +425,10 @@ def main() -> None:
 
         sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
+        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < (1 / 1.3)
         print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
               f"{_loadavg()}, drift {sf1_drift}x"
-              f"{' ** CONTAMINATED RUN' if sf1_drift > 1.3 else ''})",
+              f"{' ** CONTAMINATED RUN' if sf1_contaminated else ''})",
               file=sys.stderr)
         payload["sf1_queries"] = sf1_timings
         payload["sf1_ratio_vs_sf0.1"] = ratios
@@ -427,6 +438,7 @@ def main() -> None:
             "start_sec": round(sf1_canary_start, 3),
             "end_sec": round(sf1_canary_end, 3),
             "drift": sf1_drift,
+            "contaminated": sf1_contaminated,
         }
         payload["sf1_loadavg"] = sf1_loadavgs
 
@@ -453,13 +465,22 @@ def main() -> None:
 
                 print(f"# generating {tag}docs slice (seeded, one-time)...",
                       file=sys.stderr)
-                subprocess.run(
-                    [sys.executable,
-                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "tools", "gen_sf3_docs.py"),
-                     tag, pdir],
-                    check=True,
-                )
+                # never let slice generation (disk full, missing dep) abort
+                # a bench whose sf0.1+sf1 measurements are already in hand —
+                # the payload is only written at the end (round-5 ADVICE)
+                try:
+                    subprocess.run(
+                        [sys.executable,
+                         os.path.join(
+                             os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "gen_sf3_docs.py"),
+                         tag, pdir],
+                        check=True,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# ** SCALEGEN FAILED for {tag}: {exc!r} — "
+                          f"skipping the {tag} scale point", file=sys.stderr)
+                    continue
             if not os.path.isdir(pdir):
                 continue
             spec = REGISTRY["dedup_incremental"]
@@ -507,6 +528,47 @@ def main() -> None:
         if k not in ("draws", "loadavg", "sf1_loadavg")
     }
     print(json.dumps(compact))
+    # the driver's capture is a 2000-byte stdout TAIL (BENCH_r05's
+    # "tail" field is exactly 2000 bytes and the 3.8 KB compact line
+    # above overflowed it → "parsed": null). The LAST line is therefore
+    # a <1 KB summary — totals, canaries, worst-5 sf1 ratios, no
+    # per-query maps — guaranteed to land whole inside the window; the
+    # full detail lives in the committed BENCH_result.json and the
+    # compact line above.
+    ratios_all = payload.get("sf1_ratio_vs_sf0.1", {})
+    worst5 = dict(
+        sorted(ratios_all.items(), key=lambda kv: -kv[1])[:5]
+    )
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        # contract-shaped {name: sec} map, capped to the 5 slowest so
+        # the line stays inside the capture window; full map above +
+        # in BENCH_result.json
+        "queries": dict(
+            sorted(payload["queries"].items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "n_queries": len(payload["queries"]),
+        "canary_drift": payload["canary"]["drift"],
+        "contaminated": payload["canary"].get("contaminated", False),
+        "full": "BENCH_result.json",
+    }
+    if "sf1_total" in payload:
+        summary["sf1_total"] = payload["sf1_total"]
+        summary["sf1_canary_drift"] = payload["sf1_canary"]["drift"]
+        summary["sf1_contaminated"] = payload["sf1_canary"].get(
+            "contaminated", False
+        )
+        summary["sf1_worst5_ratios"] = worst5
+    if "pipeline_e2e_sec" in payload:
+        summary["pipeline_e2e_sec"] = payload["pipeline_e2e_sec"]
+    if "pipeline_scale_sec" in payload:
+        summary["pipeline_scale_sec"] = payload["pipeline_scale_sec"]
+    if "incremental_scale_sec" in payload:
+        summary["incremental_scale_sec"] = payload["incremental_scale_sec"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
