@@ -8828,10 +8828,11 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inc(corpus, delta)
 
 
-def _semdedup_routed_oracle(split_id: int = 50) -> str:
+def _semdedup_routed_oracle(delta_pred: str = "vec_id < 50") -> str:
     """Frozen-IVF routing (the ann_ivf_kmeans_topk centroid literals +
     the same cos-desc/ctr-asc argmin) feeding the HUGEINT cosine screen
-    of delta (vec_id < split) against same-cell corpus rows."""
+    of delta (rows matching ``delta_pred``) against same-cell corpus
+    rows (the complement)."""
     from ..operators.ivf_centroids import KMEANS_CENTROIDS_SF001
     from ..operators.kmeans import KMEANS_DIM, dot_sql
 
@@ -8851,10 +8852,10 @@ def _semdedup_routed_oracle(split_id: int = 50) -> str:
           FROM ranked WHERE rk = 1),
     cb AS (SELECT ctr, v AS vc,
                   CAST({dot_sql('v', 'v', spark=False)} AS BIGINT) AS n2c
-           FROM q WHERE vec_id >= {split_id}),
+           FROM q WHERE NOT ({delta_pred})),
     dq AS (SELECT vec_id, ctr, v,
                   CAST({dot_sql('v', 'v', spark=False)} AS BIGINT) AS n2d
-           FROM q WHERE vec_id < {split_id}),
+           FROM q WHERE {delta_pred}),
     m AS (SELECT DISTINCT vec_id FROM (
             SELECT d.vec_id,
                    CAST({dot_sql('d.v', 'c.vc', spark=False)} AS BIGINT) AS dot_uu,
@@ -8901,6 +8902,39 @@ def semdedup_routed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(
         emb.filter(F.col("vec_id") >= 50),
         emb.filter(F.col("vec_id") < 50),
+        KMEANS_CENTROIDS_SF001,
+    )
+
+
+@register(
+    "semdedup_routed_incremental_bulk",
+    _semdedup_routed_oracle("vec_id % 10 = 0"),
+    bench=True,
+    tags=["dedup", "embedding", "semdedup", "incremental", "ann", "ivf"],
+)
+def semdedup_routed_incremental_bulk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-5 directive #6: the routed-SemDeDup screen at a BULK batch
+    — the delta is 10% of the table (vec_id % 10 = 0; 2,000 vectors at
+    sf1 vs the sibling entry's fixed 50), exercising the boundary the
+    operator docstring asserts: a bounded ingest batch must BROADCAST
+    into the cell join even when "bounded" means a full daily tranche,
+    because the alternative (shuffling the standing corpus by cell) is
+    the scale failure the design exists to avoid. The broadcast on the
+    delta side is structural (F.broadcast, snapshot-pinned in
+    tests/plan_snapshots.json); the corpus side stays a single
+    never-shuffled scan, so cost grows as |delta|·|cell| while the
+    corpus term is unchanged from the 50-row sibling. Same frozen IVF
+    serving artifact, same HUGEINT screen, same oracle shape — only the
+    split predicate differs."""
+    from ..operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+    from ..operators.kmeans import semdedup_routed_incremental as _routed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _routed(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
         KMEANS_CENTROIDS_SF001,
     )
 
@@ -9270,64 +9304,104 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (bloom_prefilter_join + cms stay), mm_header_probe,
 # stream_interval_join + stream_dedup_then_window (tumbling stays, two
 # new stream shapes come in).
+# Round-6 rotation (VERDICT r5 directive #1): 28 slots moved to
+# never-driver-graded entries, prioritized exactly as directed — the
+# remaining 4 stream_* shapes, the ANN recall evals, the maintenance
+# family (incremental_agg_merge / snapshot_diff / scd2 — compaction and
+# z-order are write-path operators graded by pytest, not catalog
+# entries), pack_sequences, unpivot (sessionize/pivot already hold
+# green driver rows), semdedup_keep, sample_cell_balanced,
+# semdedup_incremental (benched at sf1 since r5 but never graded), the
+# new bulk routed-SemDeDup twin (directive #6), and full TPC-H breadth
+# (q6/q7/q12/q14/q19 scan-heavy first, then q8/q10/q15/q18/q22,
+# q11/q16/q20). The 22 anchors keep: the canary (q1), the flagship
+# composition (pipeline_e2e), one rep per reference family
+# (j1/a9/f1/k1/u1/w1/q5), the round-5 directive closers (capped fuzzy
+# twins, routed SemDeDup, minhash-capped, dedup_incremental), the
+# operators whose plans CHANGE this round and therefore must stay under
+# driver grading (dedup_clusters, graph_triangle_stats), plus family
+# reps for graph/stream/ts/train/ann (pagerank, tumbling, interp,
+# kmeans, bm25, ivf). Out (every one keeps a green r04/r05 driver row
+# + full local parity): q3, j4, a1, a6, f2, f3, fuzzy_pairs_edit1,
+# ts_gapfill_locf, ts_ohlc_daily, mm_audio_pcm_features,
+# hybrid_search_rrf, dedup_lsh_recall_eval, doc_bigram_logxent,
+# score_calibration_eval, stream_session_windows,
+# stream_join_then_window, q2, w7, train_logreg_hashed,
+# dedup_embedding_lsh, semdedup_pairs, score_auc_trained_eval,
+# bpe_pair_counts, sample_stratified, q9, bloom_prefilter_join,
+# cms_token_counts, dedup_cdc_chunks.
 # Next-round rotation candidates (never driver-graded, green in local
-# full parity): the remaining 4 stream_* shapes, TPC-H breadth
-# (q6/q7/q8/q10/q12/q14/q15/q18/q19/q22, q11/q16/q20), w6/w7 twins,
-# ann_recall_eval + ann_pq_recall_eval, pack_sequences,
-# curation_pipeline_counts, dedup_lsh_jaccard_verify, sessionize/pivot/
-# unpivot, the maintenance family (compaction/z-order/lifecycle),
-# cluster_prototypes_topk, semdedup_keep, sample_cell_balanced.
+# full parity): ann_int8_topk, asof_tolerance_order_before_event,
+# bootstrap_ci_order_value, bpe_compression_eval, bpe_vocab_counts,
+# centroid_assign_confusion, cluster_prototypes_topk, cohort_retention,
+# curation_pipeline_counts, dedup_canonical_text, dedup_cluster_sizes,
+# dedup_embedding_clusters, dedup_keep_canonical, dedup_lsh_edit_verify,
+# dedup_lsh_jaccard_verify, dedup_rate_by_source, dedup_winnowing_fps,
+# doc_unigram_logxent, dq_expectations, embedding_label_centroid,
+# fk_integrity_audit, funnel_user_conversion, graph_khop_reach(_rcte),
+# graph_label_propagation, hard_negatives_{ivf,topk},
+# heavy_hitters_tokens, hist_order_totals, islands_user_streaks,
+# json_props_stats, k_anonymity_audit, lateral_topn_orders,
+# monthly_revenue_growth, more_like_this_tfidf, ngram_doc_freq,
+# ngram_novelty_curve, order_gap_stats, outliers_mad_events,
+# pack_bins_fill, peak_open_lineitems, pii_redact_contacts,
+# profile_lineitem, quality_linear_score, revenue_concentration,
+# sample_sqrt_cap, sample_weighted_per_domain, score_auc_eval,
+# set_ops_repeat_customers, sketch_rollup_distinct,
+# stats_price_regression, text_length_deciles, text_repetition,
+# token_entropy_per_source, token_kl_per_source, train_logreg_gd,
+# variant_k_histogram, w6_rolling_hour_value, weighted_median_price.
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
+    "pipeline_e2e",
     "j1_enrich_coalesce",
-    "j4_anti_join_culling",
-    "a1_regroup_order",
-    "a6_merge_per_customer",
     "a9_keyed_upsert_latest",
     "f1_year_gate",
-    "f2_severity_gate",
-    "f3_marker_filter",
     "k1_bucket_split",
     "u1_union_dedup",
     "w1_running_total",
-    "pipeline_e2e",
-    "fuzzy_pairs_hamming_capped",
-    "fuzzy_pairs_edit1_capped",
-    "fuzzy_pairs_edit1",
-    "semdedup_routed_incremental",
-    "ts_gapfill_locf",
-    "ts_gapfill_interp",
-    "ts_ohlc_daily",
-    "mm_audio_pcm_features",
-    "hybrid_search_rrf",
-    "dedup_lsh_recall_eval",
-    "doc_bigram_logxent",
-    "score_calibration_eval",
-    "stream_session_windows",
-    "stream_join_then_window",
-    "q2_min_cost_supplier",
-    "w7_percentile_ranks",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
-    "train_logreg_hashed",
+    "fuzzy_pairs_hamming_capped",
+    "fuzzy_pairs_edit1_capped",
+    "semdedup_routed_incremental",
     "train_kmeans_lloyd",
     "bm25_topk",
     "ann_ivf_kmeans_topk",
-    "dedup_embedding_lsh",
-    "semdedup_pairs",
     "dedup_clusters",
-    "score_auc_trained_eval",
-    "bpe_pair_counts",
-    "sample_stratified",
-    "q9_product_profit_shape",
-    "graph_pagerank_parts",
     "graph_triangle_stats",
-    "bloom_prefilter_join",
-    "cms_token_counts",
-    "dedup_cdc_chunks",
+    "graph_pagerank_parts",
     "stream_tumbling_counts",
+    "ts_gapfill_interp",
+    "stream_interval_join_full",
+    "stream_interval_join_left",
+    "stream_semi_filter_counts",
+    "stream_static_nation_counts",
+    "ann_recall_eval",
+    "ann_pq_recall_eval",
+    "incremental_agg_merge",
+    "snapshot_diff_lineitems",
+    "scd2_order_priority_history",
+    "pack_sequences",
+    "unpivot_event_matrix",
+    "semdedup_keep",
+    "sample_cell_balanced",
+    "semdedup_incremental",
+    "semdedup_routed_incremental_bulk",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q19_disjunctive_brand",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_quantity_suppliers",
 ]
 
 
