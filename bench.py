@@ -220,6 +220,58 @@ def main() -> None:
         print(f"# pipeline_e2e (sources→enrich→upsert→container): "
               f"{e2e_best:.3f}s ({len(shas)} container files)", file=sys.stderr)
 
+        # ---- composed-pipeline scale rows (round-5 VERDICT directive #5) ----
+        # The flagship composition was the only family without a slope.
+        # tools/gen_pipeline_scale.py replicates the committed fixture
+        # corpus x10/x100 with globally-consistent rewritten advisory
+        # ids (NVD dimension included, so enrichment hit-rates are
+        # constant); the corpora are deterministic and regenerated on
+        # demand. Same warm+timed protocol as the e2e row above, same
+        # full dataflow (sources → … → container sink).
+        if os.environ.get("SPARK_GRAFT_SKIP_PIPESCALE") != "1":
+            pipe_scale: dict[str, float] = {"x1": round(e2e_best, 3)}
+            for mult in (10, 100):
+                sroot = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "fixtures", f"vul-source-x{mult}",
+                )
+                if not os.path.isdir(sroot):
+                    import subprocess
+
+                    try:
+                        subprocess.run(
+                            [sys.executable,
+                             os.path.join(
+                                 os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "gen_pipeline_scale.py"),
+                             str(mult), sroot],
+                            check=True,
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        print(f"# ** PIPESCALE GEN FAILED x{mult}: {exc!r} — "
+                              f"skipping", file=sys.stderr)
+                        continue
+                best = float("inf")
+                for i in range(2):
+                    _release_state(spark)
+                    t0 = time.perf_counter()
+                    os_out, app_out = _pipeline.run(spark, sroot)
+                    tmp = tempfile.mkdtemp(prefix=f"bench_pipescale{mult}_")
+                    try:
+                        shas = _memdb.update_db(
+                            os_out, app_out, tmp, version="0.0"
+                        )
+                    finally:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    if i > 0:
+                        best = min(best, time.perf_counter() - t0)
+                assert shas, f"pipeline_scale x{mult}: empty container"
+                pipe_scale[f"x{mult}"] = round(best, 3)
+                print(f"# pipeline_scale x{mult}: {best:.3f}s "
+                      f"({best / e2e_best:.1f}x vs x1)", file=sys.stderr)
+            if len(pipe_scale) > 1:
+                payload["pipeline_scale_sec"] = pipe_scale
+
     # ---- sf1 scaling point -------------------------------------------------
     # Every sf0.1 number above is overhead-dominated (< ~2.5 s); the
     # 100 TB claims rest on the SLOPE, so when the locally generated 10x
