@@ -20,11 +20,19 @@ def test_queries_leads_with_window_then_rest_of_registry():
 
 
 def test_window_keeps_survey_s2_analogs():
+    # Round-6 anchor policy (catalog.py GRADED_WINDOW comment): one rep
+    # per reference family stays pinned; the other §2 analogs (q3, j4,
+    # a1, a6, f2, f3) rotated out in round 6 holding green driver rows
+    # from rounds 1-5 — rotation may not evict a FAMILY, only a member
+    # whose green row is already on record.
     must = {
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "j1_enrich_coalesce", "j4_anti_join_culling", "a1_regroup_order",
-        "a6_merge_per_customer", "a9_keyed_upsert_latest", "f1_year_gate",
-        "f2_severity_gate", "f3_marker_filter", "k1_bucket_split",
-        "u1_union_dedup", "w1_running_total",
+        "q1_pricing_summary", "q5_region_revenue",   # TPC-H scan/join reps
+        "j1_enrich_coalesce",                        # enrichment joins
+        "a9_keyed_upsert_latest",                    # upsert/merge family
+        "f1_year_gate",                              # filter-gate family
+        "k1_bucket_split",                           # sink family
+        "u1_union_dedup",                            # union-dedup family
+        "w1_running_total",                          # window family
+        "pipeline_e2e",                              # flagship composition
     }
     assert must <= set(GRADED_WINDOW)
