@@ -116,10 +116,14 @@ def main() -> None:
     # per-query loadavg below, an artifact now carries the evidence to
     # distinguish tenancy from regression.
     canary_spec = REGISTRY["q1_pricing_summary"]
-    # 3 timed draws: the very first q1 lineage still pays residual
-    # engine warmup beyond the generic pass above (measured 0.46 s vs a
-    # settled 0.27 s at sf0.01) and an inflated baseline would mask a
-    # real end-of-run slowdown
+    # settle the JIT before the start reading: even after timed_draws'
+    # own warm pass, q1 keeps speeding up for several draws (C2 tiering
+    # of the scan/agg paths — measured 0.52 → 0.24 s over a full sf0.01
+    # run), and an inflated start baseline both masks a real end-of-run
+    # slowdown and trips the two-sided drift flag on a clean run. Three
+    # extra warm draws cost ~1 s and close most of that gap; the
+    # remaining steady drift floor is encoded in the lower bound below.
+    timed_draws(canary_spec, sf_dir, 3)
     canary_start = min(timed_draws(canary_spec, sf_dir, 3)[0])
     loadavg_start = _loadavg()
     print(f"# canary q1 start: {canary_start:.3f}s (loadavg {loadavg_start})",
@@ -153,11 +157,15 @@ def main() -> None:
     loadavg_end = _loadavg()
     drift = round(canary_end / canary_start, 2)
     # two-sided flag (round-5 ADVICE): drift >1.3 means the END was
-    # loaded, but drift <1/1.3 means the START was — a run whose first
+    # loaded; a very LOW drift means the START was (a run whose first
     # canary absorbed a neighbor burst would otherwise self-certify
-    # clean with drift ≈ 0.7. High absolute start loadavg is flagged
+    # clean). The lower bound is 0.65, not 1/1.3: clean fresh-JVM runs
+    # measure a systematic 0.69-0.85 drift floor from residual JIT
+    # tiering that the warm-up draws above don't fully close — a start
+    # canary 1.5x+ above the settled end reading is load, anything
+    # milder is warmup. High absolute start loadavg is flagged
     # independently for the same reason.
-    contaminated = drift > 1.3 or drift < (1 / 1.3)
+    contaminated = drift > 1.3 or drift < 0.65
     print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
           f"drift {drift}x{' ** CONTAMINATED RUN' if contaminated else ''})",
           file=sys.stderr)
@@ -303,6 +311,9 @@ def main() -> None:
         # contamination actually landed (graph rows), and the sf0.1-
         # section canary certifies nothing about a section that runs
         # 5-20 minutes later in a different JVM
+        # same JIT-settling protocol as the start-of-run canary: the
+        # sf1 section runs in a freshly restarted context
+        timed_draws(canary_spec, sf1_dir, 3)
         sf1_canary_start = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         print(f"# canary q1@sf1 start: {sf1_canary_start:.3f}s "
               f"(loadavg {_loadavg()})", file=sys.stderr)
@@ -481,7 +492,7 @@ def main() -> None:
 
         sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
-        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < (1 / 1.3)
+        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < 0.65
         print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
               f"{_loadavg()}, drift {sf1_drift}x"
               f"{' ** CONTAMINATED RUN' if sf1_contaminated else ''})",

@@ -303,6 +303,15 @@ def test_triangle_plan_shape(spark):
     # exactly one BNLJ: the 1-row x 1-row stats combine (the wedge
     # bloom is auto-gated off below broadcast scale)
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
+    # round-6 A/B pin (VERDICT r5 directive #3): below the 20M-edge
+    # gate the closing semi-join must be a BROADCAST hash join on the
+    # packed u<<32|v key — measured at sf1 (12M edges, 411M oriented
+    # wedges, fresh JVMs): broadcast 20.6-21.9 s warm vs bloom+shuffle
+    # 35.7-55.1 s vs SMJ 210-232 s; cross-run spread 1.06x, within-run
+    # 1.18x with the pretouched fixed heap (session.py). The wedge
+    # stream must never reach an exchange.
+    closing = re.findall(r"BroadcastHashJoin \[__uv[^\]]*\].*LeftSemi", plan)
+    assert len(closing) == 1, f"closing join not broadcast-semi: {closing}"
 
 
 def test_bloom_prefilter_sits_above_fact_scan(spark):

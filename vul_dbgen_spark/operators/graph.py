@@ -411,9 +411,18 @@ def triangle_stats(
     _force_bc = n_edges <= 20_000_000
     if wedge_bloom:
         # edge-set bloom: ~8 bits/edge (power of two, capped at
-        # 2^24 = 2 MiB packed — broadcast-scale)
+        # 2^30 = 128 MiB packed — still broadcast-scale). The cap used
+        # to be 2^24 (2 MiB), which at the >20M-edge gate where the
+        # bloom ACTIVATES meant <0.84 bits/edge → FPR ≈ (1-e^-3.6)^3 ≈
+        # 0.9 — the filter passed nearly every wedge exactly when it
+        # was needed. At 8 bits/edge and k=3 the FPR is ~3%, and the
+        # cap (128 MiB packed — a heavy but legal explicit broadcast)
+        # now binds only past ~134M edges. It degrades gracefully to
+        # ~0.3 FPR at 400M edges and is saturated (~0.8) by 1G edges —
+        # a census that big should shard the edge set and run this
+        # operator per shard pair rather than stretch one bloom.
         m = 1 << 16
-        while m < 8 * n_edges and m < (1 << 24):
+        while m < 8 * n_edges and m < (1 << 30):
             m <<= 1
         packed = bloom_pack(xx_bloom_bits(canon, ["u", "v"], m, k=3), m)
         words = packed_words_df(edges.sparkSession, packed)

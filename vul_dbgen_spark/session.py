@@ -65,6 +65,7 @@ def get_spark(
         # local mode: ~cores, not the 200 default (right for 100TB clusters,
         # wrong for one box). AQE coalesces further at runtime.
         shuffle_partitions = max(cpus, 8)
+    _driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -76,21 +77,30 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 24g (was 64g, before that 48g): on this box the GC-heavy sf1
-        # graph rows swing 2-4x run to run at big heaps — the wobble the
-        # round-4 verdict spent a forensic section on — and the A/B is
-        # decisive: LPA@sf1 draws (79, 34, 75) s at 64g and (105, 26) s
-        # mid-range at 32g vs (24, 21, 23) s at 24g; triangle census
-        # (59, 31) → (34, 22, 21) s. A 64g G1 heap accumulates a huge
-        # live+garbage region set between collections and the evacuation
-        # pauses land mid-query; at 24g collections are frequent and
-        # short, and every sf1 query still fits with head-room (peak
-        # observed usage is broadcast relations + shuffle buffers, ~2g).
-        # The round-3 note about 48g GCLocker stalls ("Retried waiting
-        # for GCLocker too often") did NOT reproduce at 24g across 30+
-        # heavy draws; if it ever returns, prefer tuning young-gen /
-        # pause targets over growing the heap past the pause cliff.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 8g FIXED (Xms=Xmx) + AlwaysPreTouch — round-6 root-cause of the
+        # sf1 wobble that rounds 4-5 chased with heap-size A/Bs (64g →
+        # 24g): the G1 heap was COMMITTING/UNCOMMITTING pages against a
+        # host whose page-fault/zeroing path is pathologically slow
+        # (~0.1-1 GB/s; measured 32% KERNEL time and a 14 s max GC pause
+        # mid-census at 24g dynamic). Faulting the heap once at startup
+        # and never shrinking it removes the kernel from the steady
+        # state entirely. Measured, triangle census @sf1, warm draws:
+        #   24g dynamic:           92-162 s, GC total 31 s, max 14 s
+        #   24g Xms only:          51-104 s, GC total 71 s, max 32 s
+        #   24g Xms + pretouch:    35 s,     GC total  3 s, max 1.2 s
+        #    8g Xms + pretouch:    18-22 s,  GC total  2 s, max 0.2 s
+        # 8g also wins startup: pretouch zeroing is ~9 s at 8g but 30-
+        # 125 s at 12-24g on this host (a fault-bandwidth cliff), and the
+        # smaller region set keeps collections short. Peak observed heap
+        # use across every sf1 row is ~2-4g (broadcast relations +
+        # shuffle buffers; caches are MEMORY_AND_DISK so they spill, and
+        # all heavy sf1 rows were re-validated OOM-free at 8g). If
+        # SPARK_GRAFT_DRIVER_MEM overrides this, Xms/pretouch follow it.
+        .config("spark.driver.memory", _driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_driver_mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # events.parquet uses TIMESTAMP(NANOS) which Spark's vectorized
