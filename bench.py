@@ -126,6 +126,17 @@ def main() -> None:
     timed_draws(canary_spec, sf_dir, 3)
     canary_start = min(timed_draws(canary_spec, sf_dir, 3)[0])
     loadavg_start = _loadavg()
+    if loadavg_start is not None and loadavg_start > 8:
+        # a 1-min loadavg decays slowly: when the bench launches right
+        # after other heavy work (the driver's correctness phase), the
+        # reading can exceed the contamination threshold while the CPUs
+        # are already idle. Settle once and re-measure both the canary
+        # and the loadavg before letting the flag stand.
+        print(f"# start loadavg {loadavg_start} > 8 — settling 30s and "
+              f"re-reading the canary", file=sys.stderr)
+        time.sleep(30)
+        canary_start = min(canary_start, min(timed_draws(canary_spec, sf_dir, 3)[0]))
+        loadavg_start = _loadavg()
     print(f"# canary q1 start: {canary_start:.3f}s (loadavg {loadavg_start})",
           file=sys.stderr)
 
@@ -159,19 +170,26 @@ def main() -> None:
     # two-sided flag (round-5 ADVICE): drift >1.3 means the END was
     # loaded; a very LOW drift means the START was (a run whose first
     # canary absorbed a neighbor burst would otherwise self-certify
-    # clean). The lower bound is 0.65, not 1/1.3: clean fresh-JVM runs
-    # measure a systematic 0.69-0.85 drift floor from residual JIT
-    # tiering that the warm-up draws above don't fully close — a start
-    # canary 1.5x+ above the settled end reading is load, anything
-    # milder is warmup. High absolute start loadavg is flagged
-    # independently for the same reason.
-    contaminated = drift > 1.3 or drift < 0.65
+    # clean). The lower bound is 0.55, not 1/1.3: a fresh-JVM start
+    # canary measures a systematic 0.62-0.85 drift floor vs the
+    # deep-warm end reading — C2 keeps compiling SHARED engine paths
+    # (parquet reader, codegen infra) through the whole run, which q1
+    # warm-up draws alone cannot close — so a mild sub-1 drift is
+    # warmup, while <0.55 exceeds every clean-run floor observed across
+    # sf0.01/sf0.1/sf1 and means the start was genuinely loaded. A high
+    # absolute start loadavg (the round-5 builder artifact's 8.17 case)
+    # flags the run directly rather than only warning.
+    contaminated = (
+        drift > 1.3
+        or drift < 0.55
+        or (loadavg_start is not None and loadavg_start > 8)
+    )
     print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
           f"drift {drift}x{' ** CONTAMINATED RUN' if contaminated else ''})",
           file=sys.stderr)
-    if loadavg_start is not None and loadavg_start > 16:
-        print(f"# ** HIGH START LOADAVG {loadavg_start} — start canary may be "
-              f"inflated; treat drift<1 readings as suspect", file=sys.stderr)
+    if loadavg_start is not None and loadavg_start > 8:
+        print(f"# ** HIGH START LOADAVG {loadavg_start} — start canary "
+              f"inflated; run flagged contaminated", file=sys.stderr)
 
     payload = {
         "metric": "headline_queries_total_runtime",
@@ -492,7 +510,7 @@ def main() -> None:
 
         sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
-        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < 0.65
+        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < 0.55
         print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
               f"{_loadavg()}, drift {sf1_drift}x"
               f"{' ** CONTAMINATED RUN' if sf1_contaminated else ''})",
