@@ -347,3 +347,30 @@ def test_label_propagation_min_label_tie_break(spark):
         for r in label_propagation(edges, iterations=1).collect()
     }
     assert got == {5: 1, 1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_label_propagation_fallback_plan_identical(spark):
+    # the two physical postures — broadcast labels over a v-partitioned
+    # edge list (below the 50M-node gate) vs shuffled labels over a
+    # u-partitioned one (above it) — must label identically; the
+    # integer-count argmax has no accumulation-order sensitivity, so
+    # this is exact equality, not tolerance
+    from vul_dbgen_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src: long, dst: long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id: long")
+
+    def run(flag):
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                edges, vertices=verts, iterations=3, broadcast_labels=flag
+            ).collect()
+        }
+
+    bc, shuffled = run(True), run(False)
+    assert bc == shuffled
+    assert bc == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3, 7: 7}
