@@ -311,6 +311,33 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
+    if (
+        not os.path.isdir(sf1_dir)
+        and "SPARK_GRAFT_SF1_DIR" not in os.environ
+        and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+        and os.environ.get("SPARK_GRAFT_SKIP_SCALEGEN") != "1"
+    ):
+        # the sf1 fixtures are gitignored (~1 GB parquet) and vanish on
+        # a container reset; a bench run that silently skipped the
+        # whole sf1 section would drop the engine's only 10x slope
+        # evidence from the committed artifact (the same failure mode
+        # the sf3/sf10 doc slices already guard against). Deterministic
+        # (seeded) regeneration takes ~2-3 min; never let it abort the
+        # sf0.1 measurements already in hand.
+        import subprocess
+
+        print("# generating fixtures/sf1 (seeded, one-time)...", file=sys.stderr)
+        try:
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "gen_sf1.py"),
+                 sf1_dir],
+                check=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"# ** SF1 GEN FAILED: {exc!r} — skipping the sf1 section",
+                  file=sys.stderr)
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         # fresh SparkContext for the scaling section: after ~45 sf0.1
         # queries + the e2e pipeline, the shared JVM carries heap
