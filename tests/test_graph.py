@@ -351,7 +351,7 @@ def test_label_propagation_min_label_tie_break(spark):
 
 def test_label_propagation_fallback_plan_identical(spark):
     # the two physical postures — broadcast labels over a v-partitioned
-    # edge list (below the 50M-node gate) vs shuffled labels over a
+    # edge list (below the 20M-node gate) vs shuffled labels over a
     # u-partitioned one (above it) — must label identically; the
     # integer-count argmax has no accumulation-order sensitivity, so
     # this is exact equality, not tolerance
@@ -374,3 +374,44 @@ def test_label_propagation_fallback_plan_identical(spark):
     bc, shuffled = run(True), run(False)
     assert bc == shuffled
     assert bc == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3, 7: 7}
+
+
+def test_label_propagation_gate_comment_matches_constant(spark):
+    # the 50M→20M gate change (round 7, ADVICE: hashed-relation
+    # expansion vs the fixed 8g heap) must not silently drift back up
+    from vul_dbgen_spark.operators.graph import LPA_BROADCAST_NODE_GATE
+
+    assert LPA_BROADCAST_NODE_GATE == 20_000_000
+
+
+def test_wedge_bloom_sizing_invariant():
+    # round-6's latent scale bug: a 2^24 cap shipped for five rounds
+    # because nothing asserted bits/edge at the ACTIVATION boundary —
+    # the bloom only exists past the 20M-edge gate, so that is where
+    # the density promise must hold. Pin: >=8 bits/edge from the gate
+    # up to the documented ~134M-edge point where the 2^30 cap binds,
+    # and power-of-two size throughout.
+    from vul_dbgen_spark.operators.graph import (
+        WEDGE_BLOOM_EDGE_GATE,
+        WEDGE_BLOOM_MAX_BITS,
+        wedge_bloom_bits,
+    )
+
+    assert WEDGE_BLOOM_EDGE_GATE == 20_000_000
+    for n_edges in (
+        WEDGE_BLOOM_EDGE_GATE + 1,
+        25_000_000,
+        60_000_000,
+        134_000_000,
+    ):
+        m = wedge_bloom_bits(n_edges)
+        assert m & (m - 1) == 0, f"not a power of two: {m}"
+        assert m / n_edges >= 8, f"{n_edges} edges: {m / n_edges:.2f} bits/edge"
+        assert m <= WEDGE_BLOOM_MAX_BITS
+    # past the cap the size saturates (degradation documented in the
+    # operator docstring) rather than growing past broadcast scale
+    assert wedge_bloom_bits(1_000_000_000) == WEDGE_BLOOM_MAX_BITS
+    # and below the gate triangle_stats hands the closing join to a
+    # broadcast semi-join instead of activating the bloom at all — the
+    # auto-gate decision is n_edges > WEDGE_BLOOM_EDGE_GATE, pinned by
+    # the plan snapshot in tests/test_plans.py

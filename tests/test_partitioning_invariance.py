@@ -110,7 +110,8 @@ def test_bloom_bits_partitioning_invariant(spark):
     packs = []
     for part in [cust.repartition(1), cust.repartition(64)]:
         packs.append(bloom_pack(bloom_build(part, "c_custkey", m=1 << 14, k=4), m=1 << 14))
-    assert packs[0] == packs[1]
+    # bloom_pack returns numpy int64 arrays (round-7 Arrow pack)
+    assert (packs[0] == packs[1]).all() and len(packs[0]) == (1 << 14) // 64
 
 
 def test_pagerank_partitioning_stable_at_grading_precision(spark):

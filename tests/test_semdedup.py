@@ -225,3 +225,45 @@ def test_all_three_partitioning_invariant(spark):
         r1 = sorted(tuple(r) for r in fn(a1).collect())
         r2 = sorted(tuple(r) for r in fn(a2).collect())
         assert r1 == r2
+
+
+def test_routed_incremental_sliced_posture_identical_and_unshuffled(spark):
+    """Two-posture equality for the routed screen (the LPA-fallback
+    pattern, round-6 VERDICT directive #7): a delta past the broadcast
+    gate is tranched into bounded per-slice broadcasts
+    (delta_slices>1), and (a) the verdicts are EXACTLY the postures'
+    intersection-free equal set, (b) the corpus-side
+    never-shuffled-for-a-join property survives — every join in both
+    physical plans is a BroadcastHashJoin (the only exchanges left are
+    the bounded matched-id distinct and output partitioning)."""
+    from vul_dbgen_spark.operators.ivf_centroids import KMEANS_CENTROIDS_SF001
+    from vul_dbgen_spark.operators.kmeans import semdedup_routed_incremental
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 200)
+    vid_type = dict(emb.dtypes)["vec_id"]
+    dup = emb.filter(F.col("vec_id") == 442).select(
+        F.lit(-1).cast(vid_type).alias("vec_id"), "embedding"
+    )
+    # a 200-vector delta: small in rows, but the posture under test is
+    # the SHAPE (3 hash slices, each broadcast), not the size
+    delta = emb.filter(F.col("vec_id") < 200).unionByName(dup)
+
+    runs = {}
+    for slices in (1, 3):
+        df = semdedup_routed_incremental(
+            corpus, delta, KMEANS_CENTROIDS_SF001, delta_slices=slices
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        runs[slices] = sorted(tuple(r) for r in df.collect())
+    assert runs[1] == runs[3]
+    assert len(runs[1]) == 201
+    # non-vacuous in both directions: the injected copy screens dup
+    verdicts = {r[0]: r[2] for r in runs[1]}
+    assert verdicts[-1] is True
+    assert not all(verdicts.values())

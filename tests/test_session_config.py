@@ -29,3 +29,20 @@ def test_fixed_pretouched_heap_and_core_confs(spark):
     assert conf.get("spark.sql.adaptive.enabled") == "true"
     assert conf.get("spark.sql.autoBroadcastJoinThreshold") == str(64 * 1024 * 1024)
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_jvm_actually_launched_with_pretouched_fixed_heap(spark):
+    # getConf() reflects what was SET, not what the JVM got: a session
+    # created against a pre-existing gateway (pyspark shell, an earlier
+    # getOrCreate with different confs, SPARK_SUBMIT_OPTS) silently
+    # drops extraJavaOptions while the conf-string test above stays
+    # green — exactly the unexplained-variance failure mode this file
+    # exists to prevent (round-7 ADVICE). Ask the live JVM.
+    jvm_args = list(
+        spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        .getInputArguments()
+    )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    assert f"-Xms{mem}" in jvm_args, jvm_args
+    assert f"-Xmx{mem}" in jvm_args, jvm_args
+    assert "-XX:+AlwaysPreTouch" in jvm_args, jvm_args

@@ -45,6 +45,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Triangle-census wedge-bloom constants, module-level so the sizing
+# invariant is unit-testable (round-6 shipped a 2^24 cap for five rounds
+# because nothing asserted bits/edge at the activation boundary — at the
+# >20M-edge gate where the bloom ACTIVATES, 2^24 meant <0.84 bits/edge →
+# FPR ≈ 0.9, a filter that filtered nothing).
+WEDGE_BLOOM_EDGE_GATE = 20_000_000
+WEDGE_BLOOM_MAX_BITS = 1 << 30  # 128 MiB packed — heavy but legal broadcast
+
+# LPA label-broadcast gate: a forced F.broadcast of the O(nodes) label
+# frame builds a driver-side hashed relation ~3-4× the raw (node, label)
+# bytes; 20M nodes ≈ 1-1.3 GB hashed, sized against the fixed 8 GB
+# driver heap the session pins (the two were changed together in round 7
+# after round 6 set a 50M raw-bytes-only constant). Past the gate the
+# plan falls back to u-partitioned edges + a shuffled label join — the
+# fallback's exact equality is pinned in tests/test_graph.py.
+LPA_BROADCAST_NODE_GATE = 20_000_000
+
+
+def wedge_bloom_bits(n_edges: int) -> int:
+    """Bloom size in bits (power of two) for the census's closing-edge
+    filter: ≥8 bits/edge (k=3 → ~3% FPR) from the activation gate up to
+    the 2^30 cap, which binds only past ~134M edges. Degrades gracefully
+    to ~0.3 FPR at 400M edges and saturates (~0.8) by 1G — a census that
+    big should shard the edge set per the triangle_stats docstring."""
+    m = 1 << 16
+    while m < 8 * n_edges and m < WEDGE_BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -402,28 +432,22 @@ def triangle_stats(
     ).first()
     n_edges = _st["n"]
     if wedge_bloom is None:
-        wedge_bloom = n_edges > 20_000_000
+        wedge_bloom = n_edges > WEDGE_BLOOM_EDGE_GATE
     # the explicit broadcast hint on the closing join is only safe while
     # the edge set is genuinely broadcast-scale; an explicit
     # wedge_bloom=False on a huge graph must not override Spark's size
     # safety and OOM the executors, so the hint carries its own gate
     # (same threshold) instead of piggybacking on the bloom decision
-    _force_bc = n_edges <= 20_000_000
+    _force_bc = n_edges <= WEDGE_BLOOM_EDGE_GATE
     if wedge_bloom:
-        # edge-set bloom: ~8 bits/edge (power of two, capped at
-        # 2^30 = 128 MiB packed — still broadcast-scale). The cap used
-        # to be 2^24 (2 MiB), which at the >20M-edge gate where the
-        # bloom ACTIVATES meant <0.84 bits/edge → FPR ≈ (1-e^-3.6)^3 ≈
-        # 0.9 — the filter passed nearly every wedge exactly when it
-        # was needed. At 8 bits/edge and k=3 the FPR is ~3%, and the
-        # cap (128 MiB packed — a heavy but legal explicit broadcast)
-        # now binds only past ~134M edges. It degrades gracefully to
-        # ~0.3 FPR at 400M edges and is saturated (~0.8) by 1G edges —
-        # a census that big should shard the edge set and run this
-        # operator per shard pair rather than stretch one bloom.
-        m = 1 << 16
-        while m < 8 * n_edges and m < (1 << 30):
-            m <<= 1
+        # edge-set bloom: ~8 bits/edge, sized by wedge_bloom_bits (see
+        # its docstring for the FPR budget and the 2^30 = 128 MiB cap;
+        # the sizing invariant is pinned by tests/test_graph.py). At the
+        # cap the word table is 16.7M rows — bloom_pack ships it to the
+        # driver as Arrow batches and scatters into one numpy buffer,
+        # never a py4j row walk or a per-element Python list (the 8g
+        # fixed driver heap and this cap were validated together).
+        m = wedge_bloom_bits(n_edges)
         packed = bloom_pack(xx_bloom_bits(canon, ["u", "v"], m, k=3), m)
         words = packed_words_df(edges.sparkSession, packed)
         wedge = (
@@ -705,8 +729,12 @@ def label_propagation(
 
     WHICH key the edge list is partitioned on depends on whether the
     label frame is broadcastable (round-6 measurement). Labels are
-    O(nodes): while that fits a broadcast (gate: ≤50M nodes ≈ 800 MB,
-    the same posture as triangle_stats' closing-join gate), partition
+    O(nodes): while that fits a broadcast (gate: ≤20M nodes — raw label
+    bytes are ~320 MB there, but the driver-built hashed relation a
+    forced F.broadcast produces runs ~3-4× raw (per-row UnsafeRow +
+    bucket array overhead), so ~1-1.3 GB against the fixed 8 GB heap;
+    the earlier 50M "≈800 MB" constant counted raw bytes only and was
+    never validated near the boundary), partition
     ``sym`` by the DESTINATION ``v`` and broadcast the labels into the
     per-round join — ``HashPartitioning(v)`` satisfies the
     ``groupBy(v, label)`` clustering (the partitioning key is a subset
@@ -741,7 +769,9 @@ def label_propagation(
     # plan for tests and for callers who know their vertex cardinality
     n_nodes = nodes.count()
     bcast_labels = (
-        n_nodes <= 50_000_000 if broadcast_labels is None else broadcast_labels
+        n_nodes <= LPA_BROADCAST_NODE_GATE
+        if broadcast_labels is None
+        else broadcast_labels
     )
     if not bcast_labels:
         # past broadcast scale the edge list must be clustered on the

@@ -279,6 +279,7 @@ def semdedup_routed_incremental(
     dim: int = KMEANS_DIM,
     tau2_num: int = 4,
     tau2_den: int = 25,
+    delta_slices: int = 1,
 ) -> DataFrame:
     """The COMPOSED SemDeDup production path, end-to-end in one plan:
     route every vector through a FROZEN serving IVF centroid artifact
@@ -298,7 +299,19 @@ def semdedup_routed_incremental(
     bounded batch size, and the per-vector |cell| ≈ n/k term is held
     constant in production by serving a bigger artifact as the corpus
     grows (k ∝ n) — the artifact swap changes literals, not this plan.
-    Returns (vec_id, cell, is_dup) for every delta vector."""
+    Returns (vec_id, cell, is_dup) for every delta vector.
+
+    ``delta_slices``: the past-broadcast-gate posture. A delta too big
+    for ONE broadcast (a backfill, not a daily tranche) is split by
+    hash into ``delta_slices`` bounded slices, each broadcast into its
+    own cell join and the matched ids unioned before the single
+    distinct. The corpus-side property the whole design rests on — the
+    standing corpus is NEVER shuffled for a join — holds in this
+    posture too (pinned with a no-SMJ/SHJ plan assertion plus exact
+    two-posture equality in tests/test_semdedup.py, the LPA-fallback
+    pattern); the price is one corpus scan per slice, which at 100 TB
+    is the columnar re-read you accept to keep a multi-TB shuffle off
+    the table (or amortize by persisting the prepped corpus)."""
     from .similarity import _argmin_centroid
 
     def prep(df: DataFrame) -> DataFrame:
@@ -321,15 +334,23 @@ def semdedup_routed_incremental(
         .withColumn("n2d", F.expr(dot_sql("v", "v", dim)))
         .localCheckpoint()
     )
-    pair = corpus.join(F.broadcast(delta), "cell").withColumn(
-        "dot_uu", F.expr(dot_sql("v", "vc", dim))
-    )
-    matched = (
-        pair.filter(_int_cos_cond(tau2_num, tau2_den))
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
+    if delta_slices <= 1:
+        parts = [delta]
+    else:
+        parts = [
+            delta.filter(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(delta_slices)) == F.lit(i)
+            )
+            for i in range(delta_slices)
+        ]
+    screened = None
+    for part in parts:
+        pair = corpus.join(F.broadcast(part), "cell").withColumn(
+            "dot_uu", F.expr(dot_sql("v", "vc", dim))
+        )
+        hit = pair.filter(_int_cos_cond(tau2_num, tau2_den)).select("vec_id")
+        screened = hit if screened is None else screened.union(hit)
+    matched = screened.distinct().withColumn("is_dup", F.lit(True))
     # matched ⊆ delta's vec_ids — bounded by the batch size, but Spark
     # sizes it from the corpus-join lineage and flips the verdict join
     # to sort-merge (snapshot-caught); broadcast is structural here

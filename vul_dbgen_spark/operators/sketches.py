@@ -149,24 +149,39 @@ def xx_bloom_member_expr(
     return cond
 
 
-def packed_words_df(spark, packed: list[int], col_name: str = "__bloom_words"):
+def packed_words_df(spark, packed, col_name: str = "__bloom_words"):
     """A 1-row DataFrame carrying a packed filter as one array<long>
     cell — Arrow-serialized in one batch, then broadcast-joined next to
     the probe side (the scalar-broadcast shape). This is how a
     multi-megabyte filter rides to executors; F.lit would rebuild it
-    element-wise over py4j."""
+    element-wise over py4j. Accepts a list or a numpy int64 array (the
+    form :func:`bloom_pack` returns); the numpy path never materializes
+    a Python object per word."""
+    import numpy as np
     import pandas as pd
 
-    return spark.createDataFrame(pd.DataFrame({col_name: [packed]}))
+    arr = np.ascontiguousarray(packed, dtype=np.int64)
+    return spark.createDataFrame(pd.DataFrame({col_name: [arr]}))
 
 
-def bloom_pack(bits: DataFrame, m: int = 1 << 16) -> list[int]:
+def bloom_pack(bits: DataFrame, m: int = 1 << 16):
     """Collapse a bit-position table into a packed little-endian word
-    array (m/64 signed 64-bit ints) — the form a Bloom filter actually
-    ships in. The pack is one tiny aggregation (≤ m/64 rows) collected
-    to the driver: bounded METADATA, not data — the same budget as a
-    broadcast dimension; the packed filter then rides into executors as
-    a literal, exactly like Spark's own runtime bloom pushdown."""
+    array (m/64 signed 64-bit ints, returned as a numpy int64 array) —
+    the form a Bloom filter actually ships in. The pack is one tiny
+    aggregation (≤ m/64 rows): bounded METADATA, not data — the same
+    budget as a broadcast dimension; the packed filter then rides into
+    executors via :func:`packed_words_df` (large) or an inlined literal
+    (small), exactly like Spark's own runtime bloom pushdown.
+
+    The transfer is Arrow-batched (``toPandas``) and the scatter is one
+    numpy indexed assignment: at the triangle census's 2^30-bit cap the
+    word table is 16.7M rows, which a row-at-a-time py4j ``collect()``
+    would walk in minutes and buffer as Row objects on an 8g driver —
+    the Arrow path streams it as a handful of columnar batches
+    (~200 MB) and the packed array itself is a single 128 MiB buffer,
+    never a per-element Python list."""
+    import numpy as np
+
     words = (
         bits.select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -178,16 +193,18 @@ def bloom_pack(bits: DataFrame, m: int = 1 << 16) -> list[int]:
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
-        .collect()
+        .toPandas()
     )
-    packed = [0] * (m // 64)
-    for r in words:
-        packed[r["w"]] = r["word"]
+    packed = np.zeros(m // 64, dtype=np.int64)
+    if len(words):
+        packed[words["w"].to_numpy(dtype=np.int64)] = words["word"].to_numpy(
+            dtype=np.int64
+        )
     return packed
 
 
 def bloom_member_expr(
-    key: F.Column, packed: list[int], m: int = 1 << 16, k: int = 4
+    key: F.Column, packed, m: int = 1 << 16, k: int = 4
 ) -> F.Column:
     """Pure column-expression membership test against a packed Bloom
     filter: true iff all k bit positions of ``key`` are set. No join, no
@@ -197,8 +214,14 @@ def bloom_member_expr(
     can possibly match (plus the filter's false-positive sliver, which
     the exact join then removes — results are provably identical). This
     is the manual form of Spark's runtime row-group bloom pushdown, for
-    when the dimension is too big to broadcast but its bloom is not."""
-    words = F.lit(packed)
+    when the dimension is too big to broadcast but its bloom is not.
+
+    The literal-inline form is for SMALL filters (≤ ~2^20 bits): F.lit
+    walks the word list element-wise over py4j. Larger filters ride via
+    :func:`packed_words_df` + :func:`xx_bloom_member_expr` instead.
+    ``packed`` may be a list or the numpy array :func:`bloom_pack`
+    returns (numpy scalars are converted — F.lit rejects np.int64)."""
+    words = F.lit([int(w) for w in packed])
     cond = None
     for i in range(k):
         h = _hash_mod(key, i, m)

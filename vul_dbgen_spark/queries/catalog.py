@@ -7893,8 +7893,13 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         xx_bloom_bits(supp, ["s_suppkey"], m=1 << 16, k=4), m=1 << 16
     )
     li = load(spark, sf_dir, "lineitem")
+    # int conversion: bloom_pack returns a numpy int64 array (Arrow-
+    # batched pack, round-7); at this 1024-word size the literal inline
+    # is still the right ship shape, but F.lit rejects np.int64 scalars
     pre = li.filter(
-        xx_bloom_member_expr([F.col("l_suppkey")], F.lit(packed), m=1 << 16, k=4)
+        xx_bloom_member_expr(
+            [F.col("l_suppkey")], F.lit([int(w) for w in packed]), m=1 << 16, k=4
+        )
     )
     return (
         pre.join(supp, pre["l_suppkey"] == supp["s_suppkey"])
