@@ -31,6 +31,20 @@ def _release_state(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def resolve_artifact_path(repo_dir: str, contaminated: bool) -> str:
+    """Committed-record guard (round-6 VERDICT directive #1): a run
+    whose canary self-flags contaminated in EITHER section must not
+    silently become the committed BENCH_result.json — round 6's final
+    snapshot overwrote a canary-clean artifact with a contaminated one.
+    Contaminated payloads land in BENCH_result.rejected.json (gitignored
+    evidence, never the record) unless SPARK_GRAFT_ALLOW_CONTAMINATED=1
+    explicitly overrides (e.g. a machine where clean is unattainable and
+    the reader accepts the flag)."""
+    if contaminated and os.environ.get("SPARK_GRAFT_ALLOW_CONTAMINATED") != "1":
+        return os.path.join(repo_dir, "BENCH_result.rejected.json")
+    return os.path.join(repo_dir, "BENCH_result.json")
+
+
 def _loadavg() -> float | None:
     """1-minute load average, rounded — the per-query tenancy record.
     Round 4's official artifact read as a uniform 1.5x regression that
@@ -127,16 +141,23 @@ def main() -> None:
     canary_start = min(timed_draws(canary_spec, sf_dir, 3)[0])
     loadavg_start = _loadavg()
     if loadavg_start is not None and loadavg_start > 8:
-        # a 1-min loadavg decays slowly: when the bench launches right
-        # after other heavy work (the driver's correctness phase), the
-        # reading can exceed the contamination threshold while the CPUs
-        # are already idle. Settle once and re-measure both the canary
-        # and the loadavg before letting the flag stand.
-        print(f"# start loadavg {loadavg_start} > 8 — settling 30s and "
-              f"re-reading the canary", file=sys.stderr)
-        time.sleep(30)
+        # a 1-min loadavg decays slowly (exp, ~60 s time constant): when
+        # the bench launches right after other heavy IN-PROCESS work
+        # (the driver's correctness phase), a reading of ~20 needs
+        # ~55 s of idle just to cross 8 — a single 30 s settle flagged
+        # genuinely clean runs (round-7 ADVICE). Settle in a bounded
+        # LOOP until the loadavg drops below the threshold (≤ 5 min
+        # total — enough for any decay-lag case; a loadavg still >8
+        # after 5 idle minutes means real neighbor load), then
+        # re-measure the canary once.
+        waited = 0
+        while loadavg_start is not None and loadavg_start > 8 and waited < 300:
+            print(f"# start loadavg {loadavg_start} > 8 — settling 30s "
+                  f"({waited}s waited)", file=sys.stderr)
+            time.sleep(30)
+            waited += 30
+            loadavg_start = _loadavg()
         canary_start = min(canary_start, min(timed_draws(canary_spec, sf_dir, 3)[0]))
-        loadavg_start = _loadavg()
     print(f"# canary q1 start: {canary_start:.3f}s (loadavg {loadavg_start})",
           file=sys.stderr)
 
@@ -255,8 +276,28 @@ def main() -> None:
         # demand. Same warm+timed protocol as the e2e row above, same
         # full dataflow (sources → … → container sink).
         if os.environ.get("SPARK_GRAFT_SKIP_PIPESCALE") != "1":
+
+            def _tree_bytes(root: str) -> int:
+                total = 0
+                for dirpath, _dirs, files in os.walk(root):
+                    for fn in files:
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+                return total
+
             pipe_scale: dict[str, float] = {"x1": round(e2e_best, 3)}
-            for mult in (10, 100):
+            # per-multiplier input size: the x10/x100 slope looked flat
+            # in round 6 because a KB-scale corpus never got the data
+            # term above the ~24 s per-source job-scheduling floor;
+            # recording corpus bytes makes a flat slope INTERPRETABLE
+            # (overhead-bound) instead of meaningless, and x1000 pushes
+            # the data term past the floor (round-6 VERDICT directive
+            # #3: pipeline wall-time ≥5x the x1 floor).
+            pipe_inputs: dict[str, int] = {"x1": _tree_bytes(fixture_root)}
+            for mult in (10, 100, 1000):
+                if mult == 1000 and os.environ.get(
+                    "SPARK_GRAFT_SKIP_PIPESCALE_XL"
+                ) == "1":
+                    continue
                 sroot = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "fixtures", f"vul-source-x{mult}",
@@ -264,16 +305,22 @@ def main() -> None:
                 if not os.path.isdir(sroot):
                     import subprocess
 
+                    # temp-dir + rename: a partial corpus must never
+                    # pass the isdir gate on the next run
+                    _tmpd = sroot.rstrip("/") + ".tmp.gen"
+                    shutil.rmtree(_tmpd, ignore_errors=True)
                     try:
                         subprocess.run(
                             [sys.executable,
                              os.path.join(
                                  os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "gen_pipeline_scale.py"),
-                             str(mult), sroot],
+                             str(mult), _tmpd],
                             check=True,
                         )
+                        os.rename(_tmpd, sroot)
                     except Exception as exc:  # noqa: BLE001
+                        shutil.rmtree(_tmpd, ignore_errors=True)
                         print(f"# ** PIPESCALE GEN FAILED x{mult}: {exc!r} — "
                               f"skipping", file=sys.stderr)
                         continue
@@ -293,10 +340,14 @@ def main() -> None:
                         best = min(best, time.perf_counter() - t0)
                 assert shas, f"pipeline_scale x{mult}: empty container"
                 pipe_scale[f"x{mult}"] = round(best, 3)
+                pipe_inputs[f"x{mult}"] = _tree_bytes(sroot)
                 print(f"# pipeline_scale x{mult}: {best:.3f}s "
-                      f"({best / e2e_best:.1f}x vs x1)", file=sys.stderr)
+                      f"({best / e2e_best:.1f}x vs x1, "
+                      f"{pipe_inputs[f'x{mult}'] / 1e6:.1f} MB corpus)",
+                      file=sys.stderr)
             if len(pipe_scale) > 1:
                 payload["pipeline_scale_sec"] = pipe_scale
+                payload["pipeline_scale_input_bytes"] = pipe_inputs
 
     # ---- sf1 scaling point -------------------------------------------------
     # Every sf0.1 number above is overhead-dominated (< ~2.5 s); the
@@ -327,15 +378,26 @@ def main() -> None:
         import subprocess
 
         print("# generating fixtures/sf1 (seeded, one-time)...", file=sys.stderr)
+        # generate into a temp dir and rename on success (round-7
+        # ADVICE): a partial fixtures/sf1 left by a failed run would
+        # pass the os.path.isdir gate below and feed the whole sf1
+        # section incomplete fixtures — crashing late or, worse,
+        # committing garbage slope numbers
+        _tmp_gen = sf1_dir.rstrip("/") + ".tmp.gen"
+        import shutil as _shutil
+
+        _shutil.rmtree(_tmp_gen, ignore_errors=True)
         try:
             subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "gen_sf1.py"),
-                 sf1_dir],
+                 _tmp_gen],
                 check=True,
             )
+            os.rename(_tmp_gen, sf1_dir)
         except Exception as exc:  # noqa: BLE001
+            _shutil.rmtree(_tmp_gen, ignore_errors=True)
             print(f"# ** SF1 GEN FAILED: {exc!r} — skipping the sf1 section",
                   file=sys.stderr)
     if os.path.isdir(sf1_dir) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
@@ -468,27 +530,29 @@ def main() -> None:
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         sf1_loadavgs: dict[str, float | None] = {}
-        # the GC-heavy iterative/graph entries swing 2-4x run to run at
-        # sf1 (allocation-churn draws); a second timed draw keeps their
-        # headline ratios from inheriting one bad GC cycle
-        slow_twice = {
-            "graph_triangle_stats", "graph_khop_reach",
-            "dedup_clusters", "graph_pagerank_parts",
-            "graph_label_propagation",
-        }
+        sf1_all_draws: dict[str, list[float]] = {}
         for name in heavy:
             spec = REGISTRY[name]
             sf1_loadavgs[name] = _loadavg()
-            best, n = float("inf"), 0
-            draws = 3 if name in slow_twice else 2
-            for i in range(draws):
-                _release_state(spark)
-                t0 = time.perf_counter()
-                n = spec.fn(spark, sf1_dir).count()
-                if i > 0:
-                    best = min(best, time.perf_counter() - t0)
+            # 2 timed draws minimum for EVERY row (spread is invisible
+            # with one sample; the slow_twice set used to be the only
+            # rows with a second draw)
+            draws, n = timed_draws(spec, sf1_dir, 2)
+            # auto-extra-draw-on-spread, extended to the sf1 section
+            # (round-6 VERDICT directive #5): q2/q9/logxent/tfidf showed
+            # 1.5-2x builder-vs-driver spread on clean canaries and only
+            # the sf0.1 section re-drew. Cap at +2 draws — a row still
+            # spread after 3-4 samples is telling us about the machine,
+            # and the per-row loadavg is recorded for exactly that read.
+            extras = 0
+            while max(draws) / min(draws) > 1.5 and extras < 2:
+                more, n = timed_draws(spec, sf1_dir, 1)
+                draws += more
+                extras += 1
+            best = min(draws)
             assert spec.expect_empty or n > 0, f"{name}@sf1: 0 rows — vacuous"
             sf1_timings[name] = round(best, 3)
+            sf1_all_draws[name] = [round(d, 3) for d in draws]
             if timings.get(name):
                 ratios[name] = round(best / timings[name], 1)
             flag = " ** SUPER-LINEAR" if ratios.get(name, 0) > 15 else ""
@@ -553,6 +617,7 @@ def main() -> None:
             "contaminated": sf1_contaminated,
         }
         payload["sf1_loadavg"] = sf1_loadavgs
+        payload["sf1_draws"] = sf1_all_draws
 
         # ---- sf3/sf10 scaling points: the incremental screen's slope ------
         # dedup_incremental at sf1 is 0.9x vs sf0.1 — overhead-dominated,
@@ -579,17 +644,25 @@ def main() -> None:
                       file=sys.stderr)
                 # never let slice generation (disk full, missing dep) abort
                 # a bench whose sf0.1+sf1 measurements are already in hand —
-                # the payload is only written at the end (round-5 ADVICE)
+                # the payload is only written at the end (round-5 ADVICE).
+                # Same temp-dir + rename discipline as the sf1 gen: a
+                # partial slice dir must never pass the isdir gate.
+                import shutil as _sh
+
+                _tmp = pdir.rstrip("/") + ".tmp.gen"
+                _sh.rmtree(_tmp, ignore_errors=True)
                 try:
                     subprocess.run(
                         [sys.executable,
                          os.path.join(
                              os.path.dirname(os.path.abspath(__file__)),
                              "tools", "gen_sf3_docs.py"),
-                         tag, pdir],
+                         tag, _tmp],
                         check=True,
                     )
+                    os.rename(_tmp, pdir)
                 except Exception as exc:  # noqa: BLE001
+                    _sh.rmtree(_tmp, ignore_errors=True)
                     print(f"# ** SCALEGEN FAILED for {tag}: {exc!r} — "
                           f"skipping the {tag} scale point", file=sys.stderr)
                     continue
@@ -622,9 +695,18 @@ def main() -> None:
     # truncated the (long) result line mid-JSON ("parsed": null) — write
     # the payload to a committed file FIRST so a parseable copy always
     # exists, then print the contract's single JSON line.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json"
+    any_contaminated = bool(
+        payload["canary"].get("contaminated")
+        or payload.get("sf1_canary", {}).get("contaminated")
     )
+    out_path = resolve_artifact_path(
+        os.path.dirname(os.path.abspath(__file__)), any_contaminated
+    )
+    if out_path.endswith(".rejected.json"):
+        print("# ** CONTAMINATED RUN — payload diverted to "
+              "BENCH_result.rejected.json; the committed BENCH_result.json "
+              "keeps the last clean run. Re-run until both canaries are "
+              "clean (round-6 VERDICT directive #1).", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
@@ -637,7 +719,7 @@ def main() -> None:
     compact = {
         k: v
         for k, v in payload.items()
-        if k not in ("draws", "loadavg", "sf1_loadavg")
+        if k not in ("draws", "loadavg", "sf1_loadavg", "sf1_draws")
     }
     print(json.dumps(compact))
     # the driver's capture is a 2000-byte stdout TAIL (BENCH_r05's
@@ -681,6 +763,11 @@ def main() -> None:
     if "incremental_scale_sec" in payload:
         summary["incremental_scale_sec"] = payload["incremental_scale_sec"]
     print(json.dumps(summary))
+    if any_contaminated and os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN") == "1":
+        # hard gate for scripted re-run-until-clean loops: the artifact
+        # and contract lines above are already emitted, the exit code
+        # just tells the caller this run must not become the record
+        sys.exit(3)
 
 
 if __name__ == "__main__":
