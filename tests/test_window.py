@@ -2,7 +2,12 @@
 window's invariants so a registration edit can't silently evict a graded
 entry or push an oracle-less one into the hash-compared slots."""
 
-from vul_dbgen_spark.queries.catalog import GRADED_WINDOW, REGISTRY, queries
+from vul_dbgen_spark.queries.catalog import (
+    GRADED_WINDOW,
+    PLAN_CHANGED_THIS_ROUND,
+    REGISTRY,
+    queries,
+)
 
 
 def test_window_is_exactly_50_registered_oracle_backed_names():
@@ -36,3 +41,17 @@ def test_window_keeps_survey_s2_analogs():
         "pipeline_e2e",                              # flagship composition
     }
     assert must <= set(GRADED_WINDOW)
+
+
+def test_plan_changed_operators_stay_under_driver_grading():
+    # Anchor policy as code (round-6 VERDICT directive #8): round 6
+    # changed LPA's physical plan without keeping it in the graded
+    # window — local parity covered it, but the policy exists precisely
+    # so a plan change always earns a driver CORRECTNESS row. The list
+    # is maintained in catalog.py in the same commit that changes an
+    # operator; this test turns the omission into a CI failure.
+    assert set(PLAN_CHANGED_THIS_ROUND) <= set(GRADED_WINDOW), (
+        set(PLAN_CHANGED_THIS_ROUND) - set(GRADED_WINDOW)
+    )
+    for n in PLAN_CHANGED_THIS_ROUND:
+        assert n in REGISTRY, n

@@ -9335,27 +9335,51 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_embedding_lsh, semdedup_pairs, score_auc_trained_eval,
 # bpe_pair_counts, sample_stratified, q9, bloom_prefilter_join,
 # cms_token_counts, dedup_cdc_chunks.
-# Next-round rotation candidates (never driver-graded, green in local
-# full parity): ann_int8_topk, asof_tolerance_order_before_event,
-# bootstrap_ci_order_value, bpe_compression_eval, bpe_vocab_counts,
-# centroid_assign_confusion, cluster_prototypes_topk, cohort_retention,
-# curation_pipeline_counts, dedup_canonical_text, dedup_cluster_sizes,
-# dedup_embedding_clusters, dedup_keep_canonical, dedup_lsh_edit_verify,
-# dedup_lsh_jaccard_verify, dedup_rate_by_source, dedup_winnowing_fps,
-# doc_unigram_logxent, dq_expectations, embedding_label_centroid,
-# fk_integrity_audit, funnel_user_conversion, graph_khop_reach(_rcte),
-# graph_label_propagation, hard_negatives_{ivf,topk},
-# heavy_hitters_tokens, hist_order_totals, islands_user_streaks,
-# json_props_stats, k_anonymity_audit, lateral_topn_orders,
-# monthly_revenue_growth, more_like_this_tfidf, ngram_doc_freq,
-# ngram_novelty_curve, order_gap_stats, outliers_mad_events,
-# pack_bins_fill, peak_open_lineitems, pii_redact_contacts,
-# profile_lineitem, quality_linear_score, revenue_concentration,
-# sample_sqrt_cap, sample_weighted_per_domain, score_auc_eval,
-# set_ops_repeat_customers, sketch_rollup_distinct,
-# stats_price_regression, text_length_deciles, text_repetition,
-# token_entropy_per_source, token_kl_per_source, train_logreg_gd,
-# variant_k_histogram, w6_rolling_hour_value, weighted_median_price.
+# Round-7 rotation (VERDICT r6 directive #2): 32 slots moved to
+# never-driver-graded entries, led by the plan-changed pair the anchor
+# policy demanded (graph_label_propagation — its broadcast-labels gate
+# changed in r6 AND its gate constant changes again this round;
+# graph_khop_reach — flagged for the 8g-heap A/B), then the staged list:
+# doc_unigram_logxent, train_logreg_gd, score_auc_eval, text_repetition,
+# more_like_this_tfidf, centroid_assign_confusion, the dedup verify/
+# cluster/canonical entries, w6, weighted_median, ann_int8, asof
+# tolerance, bootstrap CI, heavy hitters, token entropy/KL, ngram doc
+# freq, per-domain + sqrt-cap sampling (sampling family keeps a graded
+# rep as sample_cell_balanced rotates out), pack_bins_fill (packing rep
+# as pack_sequences rotates out), hard_negatives_topk, islands, and
+# graph_khop_reach_rcte (the recursive-CTE-oracle twin).
+# bloom_prefilter_join rotates BACK in: its
+# bloom_pack path changed this round (Arrow packing), and the anchor
+# policy — now CODE via PLAN_CHANGED_THIS_ROUND below — says
+# plan-changed operators stay under driver grading. The 18 anchors
+# keep: q1/q5 (TPC-H reps; the other 13 TPC-H entries hold green r6
+# rows), the flagship composition, one rep per reference family
+# (j1/a9/f1/k1/u1/w1), dedup_incremental (dedup family + the flat-slope
+# scale closer), semdedup_routed_incremental_bulk (semdedup rep; its
+# operator gained the delta_slices posture this round),
+# train_kmeans_lloyd, bm25_topk, ann_ivf_kmeans_topk,
+# graph_triangle_stats (bloom pack + sizing-helper change),
+# stream_tumbling_counts, ts_gapfill_interp, incremental_agg_merge
+# (maintenance rep). Out (every entry keeps its green r6 driver row +
+# full local parity, and every family keeps a graded member on record):
+# dedup_minhash_lsh_pairs_capped, fuzzy_pairs_hamming_capped,
+# fuzzy_pairs_edit1_capped, semdedup_routed_incremental, dedup_clusters,
+# graph_pagerank_parts, the 4 r6 stream shapes (tumbling stays),
+# ann_recall_eval, ann_pq_recall_eval, snapshot_diff_lineitems,
+# scd2_order_priority_history, pack_sequences, unpivot_event_matrix,
+# semdedup_keep, sample_cell_balanced, semdedup_incremental, and the 13
+# r6 TPC-H breadth entries (q6-q22).
+# Remaining never-driver-graded after this round (28): bpe_compression_
+# eval, bpe_vocab_counts, cluster_prototypes_topk, cohort_retention,
+# curation_pipeline_counts, dq_expectations, embedding_label_centroid,
+# fk_integrity_audit, funnel_user_conversion, hard_negatives_ivf,
+# hist_order_totals, json_props_stats, k_anonymity_audit,
+# lateral_topn_orders, monthly_revenue_growth, ngram_novelty_curve,
+# order_gap_stats, outliers_mad_events, peak_open_lineitems,
+# pii_redact_contacts, profile_lineitem, quality_linear_score,
+# revenue_concentration, set_ops_repeat_customers,
+# sketch_rollup_distinct, stats_price_regression, text_length_deciles,
+# variant_k_histogram — one more rotation finishes the registry.
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q5_region_revenue",
@@ -9366,47 +9390,62 @@ GRADED_WINDOW: list[str] = [
     "k1_bucket_split",
     "u1_union_dedup",
     "w1_running_total",
-    "dedup_minhash_lsh_pairs_capped",
     "dedup_incremental",
-    "fuzzy_pairs_hamming_capped",
-    "fuzzy_pairs_edit1_capped",
-    "semdedup_routed_incremental",
+    "semdedup_routed_incremental_bulk",
     "train_kmeans_lloyd",
     "bm25_topk",
     "ann_ivf_kmeans_topk",
-    "dedup_clusters",
     "graph_triangle_stats",
-    "graph_pagerank_parts",
     "stream_tumbling_counts",
     "ts_gapfill_interp",
-    "stream_interval_join_full",
-    "stream_interval_join_left",
-    "stream_semi_filter_counts",
-    "stream_static_nation_counts",
-    "ann_recall_eval",
-    "ann_pq_recall_eval",
     "incremental_agg_merge",
-    "snapshot_diff_lineitems",
-    "scd2_order_priority_history",
-    "pack_sequences",
-    "unpivot_event_matrix",
-    "semdedup_keep",
-    "sample_cell_balanced",
-    "semdedup_incremental",
-    "semdedup_routed_incremental_bulk",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue",
-    "q19_disjunctive_brand",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_quantity_suppliers",
+    "bloom_prefilter_join",
+    "graph_label_propagation",
+    "graph_khop_reach",
+    "graph_khop_reach_rcte",
+    "doc_unigram_logxent",
+    "train_logreg_gd",
+    "score_auc_eval",
+    "text_repetition",
+    "more_like_this_tfidf",
+    "centroid_assign_confusion",
+    "dedup_lsh_jaccard_verify",
+    "dedup_lsh_edit_verify",
+    "dedup_cluster_sizes",
+    "dedup_keep_canonical",
+    "dedup_canonical_text",
+    "dedup_rate_by_source",
+    "dedup_winnowing_fps",
+    "dedup_embedding_clusters",
+    "w6_rolling_hour_value",
+    "weighted_median_price",
+    "ann_int8_topk",
+    "asof_tolerance_order_before_event",
+    "bootstrap_ci_order_value",
+    "heavy_hitters_tokens",
+    "token_entropy_per_source",
+    "token_kl_per_source",
+    "ngram_doc_freq",
+    "sample_weighted_per_domain",
+    "sample_sqrt_cap",
+    "pack_bins_fill",
+    "hard_negatives_topk",
+    "islands_user_streaks",
+]
+
+# Anchor policy as CODE (round-6 VERDICT directive #8): any catalog
+# entry whose underlying operator implementation changed in the current
+# round MUST appear in GRADED_WINDOW — local parity alone is not the
+# grading record for a changed plan. This list is maintained by hand in
+# the same commit that changes the operator (the LPA-class omission in
+# round 6 is exactly what it prevents); tests/test_window.py asserts
+# containment, so forgetting the window update fails CI, not the judge.
+PLAN_CHANGED_THIS_ROUND: list[str] = [
+    # round 7:
+    "graph_triangle_stats",        # Arrow bloom packing + sizing helper
+    "graph_label_propagation",     # broadcast gate 50M -> 20M nodes
+    "bloom_prefilter_join",        # bloom_pack returns numpy; lit path
+    "semdedup_routed_incremental_bulk",  # delta_slices posture added
 ]
 
 
