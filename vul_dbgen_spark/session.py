@@ -89,6 +89,11 @@ def get_spark(
         #   24g Xms only:          51-104 s, GC total 71 s, max 32 s
         #   24g Xms + pretouch:    35 s,     GC total  3 s, max 1.2 s
         #    8g Xms + pretouch:    18-22 s,  GC total  2 s, max 0.2 s
+        # Round-7 A/B (khop@sf1, clean canaries, directed by VERDICT r6
+        # #4 after a 8.5->10.3 s driver reading): 8g pretouch 7.8-9.6 s
+        # vs 24g pretouch 25.7-47.2 s — the heap change did not cost
+        # khop (draws land 0.92-1.04x of the r5 number); the r6 spread
+        # was tenancy, and large heaps remain the pathology, not the fix.
         # 8g also wins startup: pretouch zeroing is ~9 s at 8g but 30-
         # 125 s at 12-24g on this host (a fault-bandwidth cliff), and the
         # smaller region set keeps collections short. Peak observed heap
