@@ -249,8 +249,12 @@ def main() -> None:
         from vul_dbgen_spark.plans import pipeline as _pipeline
         from vul_dbgen_spark.sinks import memdb as _memdb
 
+        # best of 2 timed draws (was 1): the r7 run recorded x1 = 48.5 s
+        # against x10 = 30.3 s — a single timed draw makes the x1 floor
+        # (the denominator of every scale ratio) the noisiest number in
+        # the section; one more ~30 s draw fixes that
         e2e_best = float("inf")
-        for i in range(2):
+        for i in range(3):
             _release_state(spark)
             t0 = time.perf_counter()
             os_out, app_out = _pipeline.run(spark, fixture_root)
@@ -325,7 +329,11 @@ def main() -> None:
                               f"skipping", file=sys.stderr)
                         continue
                 best = float("inf")
-                for i in range(2):
+                # x10/x100: best of 2 timed draws (same floor-noise
+                # argument as e2e); x1000 keeps 1 timed draw — at ~140 s
+                # a repeat buys little for its cost, and the data term
+                # there dwarfs the scheduling noise being guarded against
+                for i in range(2 if mult >= 1000 else 3):
                     _release_state(spark)
                     t0 = time.perf_counter()
                     os_out, app_out = _pipeline.run(spark, sroot)

@@ -709,14 +709,14 @@ def label_propagation(
     separate action and would otherwise re-run the caller's edge
     derivation). Labels must be numeric (node ids) — the argmax packs
     (count, −label) into one struct max so the tie-break rides the same
-    aggregate, no second pass. The keep-current-label rule for isolated
-    nodes rides the SAME aggregate too: a (node, current-label,
-    count=0) seed row is unioned into the neighbor counts, so the
-    argmax is total over all nodes and the old per-round
-    labels⋈best coalesce join — one extra node-key shuffle — is gone
-    (the seed loses to any real neighbor row because 0 < every count,
-    and a seed label coinciding with a neighbor label adds a separate
-    dominated row, never an inflated count).
+    aggregate, no second pass. The keep-current-label rule for nodes
+    with no neighbor rows is a coalesce LEFT JOIN of the label frame
+    against the O(nodes) argmax result — broadcast below the gate, so
+    in the broadcast posture a round runs with ZERO exchanges (both
+    aggregates inherit HashPartitioning(v) from the edge join; see the
+    loop comment for the measured round-7 A/B against the earlier
+    seed-row-union design, whose union destroyed that partitioning and
+    exchanged the edge-scale counts table every round).
 
     The loop-invariant edge list is materialized with a partitioned
     ``persist`` rather than ``localCheckpoint``: an RDD-backed
@@ -738,11 +738,12 @@ def label_propagation(
     ``sym`` by the DESTINATION ``v`` and broadcast the labels into the
     per-round join — ``HashPartitioning(v)`` satisfies the
     ``groupBy(v, label)`` clustering (the partitioning key is a subset
-    of the grouping key), so the neighbor-count aggregate runs with
-    ZERO exchange over the 2E-row joined stream and the only per-round
-    shuffle left is the argmax over the already-aggregated (node,
-    label) counts. Measured at sf1: 20.1 s → 15.5 s warm, bit-identical
-    labels (integer counts — no float-order sensitivity). Past the
+    of the grouping key), so the neighbor-count aggregate AND the
+    argmax over it run with ZERO exchange over the 2E-row joined
+    stream; the round-7 coalesce-join form of the keep-current rule
+    removed the last per-round shuffle. Measured at sf1: 20.1 s →
+    15.5 s warm for the r6 broadcast change, bit-identical labels
+    (integer counts — no float-order sensitivity). Past the
     gate, broadcasting the label frame would OOM the executors, so the
     plan falls back to u-partitioned ``sym`` + shuffling the label
     frame to it per round — the 2E-row aggregate exchange returns, but
@@ -791,14 +792,36 @@ def label_propagation(
             .groupBy("n2", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        seed = labels.select(
-            F.col("node").alias("n2"), "label", F.lit(0).cast("long").alias("c")
-        )
-        labels = (
-            cnt.unionByName(seed)
-            .groupBy("n2")
+        # Both aggregates are ZERO exchange in the broadcast posture:
+        # the join output keeps sym's HashPartitioning(v), which
+        # satisfies groupBy(v, label) AND the argmax's groupBy(v) (the
+        # aggregate preserves its child's partitioning). The
+        # keep-current rule for nodes with no neighbor rows is a
+        # coalesce LEFT JOIN against the O(nodes) argmax result —
+        # broadcast below the gate, so the round runs shuffle-free.
+        # (Round 6 used a (node, label, c=0) seed row unioned into cnt
+        # so one total argmax covered isolated nodes — but the union
+        # DESTROYS the aggregate's partitioning and forces a full
+        # exchange of the counts table, O(distinct (v, label)) rows ≈
+        # up to 2E. Measured at sf1, 24M symmetrized edges: warm draws
+        # ~equal (16-19 s both), cold draws 30-38 s union vs 18-20 s
+        # join — and at 100x the eliminated exchange is edge-scale
+        # while the broadcast stays node-scale. Semantics identical:
+        # the seed's c=0 never beat a real neighbor count anyway, so
+        # argmax-over-neighbors + keep-current-on-miss is the same
+        # function; pinned by the hand-graph tests and the unrolled
+        # SQL oracle.)
+        arg = (
+            cnt.groupBy("n2")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("label"))
+            .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("new_label"))
+        )
+        arg_side = F.broadcast(arg) if bcast_labels else arg
+        labels = (
+            labels.join(arg_side, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
             .localCheckpoint()
         )
     nodes.unpersist()
