@@ -236,9 +236,10 @@ def main() -> None:
     # namespacing → enrichment → upserts → tar/gzip/AES container — is
     # golden-tested for VALUES (tests/test_sink.py) but a regression in
     # the composition's COST was invisible to the per-operator rows
-    # above. One warm + one timed run (the job is ~30 s at fixture
-    # scale; per-query best-of-3 would triple the bench for a number
-    # whose round-over-round signal is coarse anyway).
+    # above. One warm + best-of-2 timed runs (~30 s each at fixture
+    # scale): the x1 number is the denominator of every pipeline_scale
+    # ratio, and with a single timed draw it was the section's noisiest
+    # reading (48.5 s vs a 25.7 s floor in back-to-back r7 runs).
     fixture_root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "fixtures", "vul-source"
     )
@@ -549,11 +550,19 @@ def main() -> None:
             # auto-extra-draw-on-spread, extended to the sf1 section
             # (round-6 VERDICT directive #5): q2/q9/logxent/tfidf showed
             # 1.5-2x builder-vs-driver spread on clean canaries and only
-            # the sf0.1 section re-drew. Cap at +2 draws — a row still
-            # spread after 3-4 samples is telling us about the machine,
-            # and the per-row loadavg is recorded for exactly that read.
+            # the sf0.1 section re-drew. The stop condition is on the
+            # TWO SMALLEST draws (is the min corroborated by a second
+            # reading?), not max/min — max/min is monotone in an
+            # append-only list, so it could never release the loop once
+            # tripped. Cap at +2 extras; note each extra costs one
+            # hidden warm pass too (timed_draws' shield against load
+            # spikes), so a spread-heavy graph row pays ~2 runs/extra —
+            # the per-row loadavg is recorded to explain exactly that.
             extras = 0
-            while max(draws) / min(draws) > 1.5 and extras < 2:
+            while extras < 2:
+                s = sorted(draws)
+                if s[1] / s[0] <= 1.5:
+                    break
                 more, n = timed_draws(spec, sf1_dir, 1)
                 draws += more
                 extras += 1
@@ -755,7 +764,11 @@ def main() -> None:
         "n_queries": len(payload["queries"]),
         "canary_drift": payload["canary"]["drift"],
         "contaminated": payload["canary"].get("contaminated", False),
-        "full": "BENCH_result.json",
+        # basename, not a hardcoded name: a contaminated run's payload
+        # is diverted to BENCH_result.rejected.json, and the summary
+        # must point at the file THIS run actually wrote, not at the
+        # previous clean run's record
+        "full": os.path.basename(out_path),
     }
     if "sf1_total" in payload:
         summary["sf1_total"] = payload["sf1_total"]

@@ -9354,7 +9354,7 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerance, bootstrap CI, heavy hitters, token entropy/KL, ngram doc
 # freq, per-domain + sqrt-cap sampling (sampling family keeps a graded
 # rep as sample_cell_balanced rotates out), pack_bins_fill (packing rep
-# as pack_sequences rotates out), hard_negatives_topk, islands, and
+# as pack_sequences rotates out), hard_negatives_topk, and
 # graph_khop_reach_rcte (the recursive-CTE-oracle twin).
 # bloom_prefilter_join rotates BACK in: its
 # bloom_pack path changed this round (Arrow packing), and the anchor
@@ -9363,25 +9363,27 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep: q1/q5 (TPC-H reps; the other 13 TPC-H entries hold green r6
 # rows), the flagship composition, one rep per reference family
 # (j1/a9/f1/k1/u1/w1), dedup_incremental (dedup family + the flat-slope
-# scale closer), semdedup_routed_incremental_bulk (semdedup rep; its
-# operator gained the delta_slices posture this round),
+# scale closer), BOTH routed-SemDeDup wrappers (their shared operator
+# gained the delta_slices tranche posture this round — the entry-level
+# anchor policy keeps every wrapper of a changed operator graded),
 # train_kmeans_lloyd, bm25_topk, ann_ivf_kmeans_topk,
 # graph_triangle_stats (bloom pack + sizing-helper change),
 # stream_tumbling_counts, ts_gapfill_interp, incremental_agg_merge
 # (maintenance rep). Out (every entry keeps its green r6 driver row +
 # full local parity, and every family keeps a graded member on record):
 # dedup_minhash_lsh_pairs_capped, fuzzy_pairs_hamming_capped,
-# fuzzy_pairs_edit1_capped, semdedup_routed_incremental, dedup_clusters,
+# fuzzy_pairs_edit1_capped, dedup_clusters,
 # graph_pagerank_parts, the 4 r6 stream shapes (tumbling stays),
 # ann_recall_eval, ann_pq_recall_eval, snapshot_diff_lineitems,
 # scd2_order_priority_history, pack_sequences, unpivot_event_matrix,
 # semdedup_keep, sample_cell_balanced, semdedup_incremental, and the 13
 # r6 TPC-H breadth entries (q6-q22).
-# Remaining never-driver-graded after this round (28): bpe_compression_
+# Remaining never-driver-graded after this round (29): bpe_compression_
 # eval, bpe_vocab_counts, cluster_prototypes_topk, cohort_retention,
 # curation_pipeline_counts, dq_expectations, embedding_label_centroid,
 # fk_integrity_audit, funnel_user_conversion, hard_negatives_ivf,
-# hist_order_totals, json_props_stats, k_anonymity_audit,
+# hist_order_totals, islands_user_streaks, json_props_stats,
+# k_anonymity_audit,
 # lateral_topn_orders, monthly_revenue_growth, ngram_novelty_curve,
 # order_gap_stats, outliers_mad_events, peak_open_lineitems,
 # pii_redact_contacts, profile_lineitem, quality_linear_score,
@@ -9438,7 +9440,7 @@ GRADED_WINDOW: list[str] = [
     "sample_sqrt_cap",
     "pack_bins_fill",
     "hard_negatives_topk",
-    "islands_user_streaks",
+    "semdedup_routed_incremental",
 ]
 
 # Anchor policy as CODE (round-6 VERDICT directive #8): any catalog
@@ -9451,9 +9453,14 @@ GRADED_WINDOW: list[str] = [
 PLAN_CHANGED_THIS_ROUND: list[str] = [
     # round 7:
     "graph_triangle_stats",        # Arrow bloom packing + sizing helper
-    "graph_label_propagation",     # broadcast gate 50M -> 20M nodes
+    "graph_label_propagation",     # gate 50M -> 20M; shuffle-free round
     "bloom_prefilter_join",        # bloom_pack returns numpy; lit path
-    "semdedup_routed_incremental_bulk",  # delta_slices posture added
+    # BOTH wrappers of kmeans.semdedup_routed_incremental (the operator
+    # gained the delta_slices tranche posture): the policy is
+    # entry-level, so every catalog entry over a changed operator stays
+    # graded, not just one representative
+    "semdedup_routed_incremental",
+    "semdedup_routed_incremental_bulk",
 ]
 
 
