@@ -31,7 +31,12 @@ def _release_state(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def resolve_artifact_path(repo_dir: str, contaminated: bool) -> str:
+GRADED_SF_DIR = "/root/testdata/sf0.1"
+
+
+def resolve_artifact_path(
+    repo_dir: str, contaminated: bool, sf_dir: str = GRADED_SF_DIR
+) -> str:
     """Committed-record guard (round-6 VERDICT directive #1): a run
     whose canary self-flags contaminated in EITHER section must not
     silently become the committed BENCH_result.json — round 6's final
@@ -39,9 +44,17 @@ def resolve_artifact_path(repo_dir: str, contaminated: bool) -> str:
     Contaminated payloads land in BENCH_result.rejected.json (gitignored
     evidence, never the record) unless SPARK_GRAFT_ALLOW_CONTAMINATED=1
     explicitly overrides (e.g. a machine where clean is unattainable and
-    the reader accepts the flag)."""
+    the reader accepts the flag).
+
+    A run at any OTHER scale factor is likewise diverted (to the
+    gitignored BENCH_result.local.json): the committed record means
+    "the graded sf0.1 configuration", and an sf0.001 smoke run that
+    happens to finish with clean canaries must not replace it (this
+    exact near-miss happened in round 7's code-path testing)."""
     if contaminated and os.environ.get("SPARK_GRAFT_ALLOW_CONTAMINATED") != "1":
         return os.path.join(repo_dir, "BENCH_result.rejected.json")
+    if sf_dir.rstrip("/") != GRADED_SF_DIR:
+        return os.path.join(repo_dir, "BENCH_result.local.json")
     return os.path.join(repo_dir, "BENCH_result.json")
 
 
@@ -717,13 +730,17 @@ def main() -> None:
         or payload.get("sf1_canary", {}).get("contaminated")
     )
     out_path = resolve_artifact_path(
-        os.path.dirname(os.path.abspath(__file__)), any_contaminated
+        os.path.dirname(os.path.abspath(__file__)), any_contaminated, sf_dir
     )
     if out_path.endswith(".rejected.json"):
         print("# ** CONTAMINATED RUN — payload diverted to "
               "BENCH_result.rejected.json; the committed BENCH_result.json "
               "keeps the last clean run. Re-run until both canaries are "
               "clean (round-6 VERDICT directive #1).", file=sys.stderr)
+    elif out_path.endswith(".local.json"):
+        print(f"# non-graded SF ({sf_dir}) — payload written to "
+              f"BENCH_result.local.json; the committed record only ever "
+              f"holds the graded sf0.1 configuration.", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

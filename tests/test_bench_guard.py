@@ -41,3 +41,29 @@ def test_contaminated_override_is_explicit(monkeypatch):
 def test_rejected_artifact_is_gitignored():
     gi = open(os.path.join(_REPO, ".gitignore")).read()
     assert "BENCH_result.rejected.json" in gi
+
+
+def test_non_graded_sf_is_diverted_even_when_clean(monkeypatch):
+    # a clean sf0.001 smoke run replaced the committed sf0.1 record
+    # during round-7 code-path testing — the record means "the graded
+    # configuration", so any other SF diverts to the local file
+    monkeypatch.delenv("SPARK_GRAFT_ALLOW_CONTAMINATED", raising=False)
+    b = _bench()
+    assert (
+        b.resolve_artifact_path("/r", False, "/root/testdata/sf0.001")
+        == "/r/BENCH_result.local.json"
+    )
+    assert (
+        b.resolve_artifact_path("/r", False, "/root/testdata/sf0.1")
+        == "/r/BENCH_result.json"
+    )
+    # contamination outranks the SF routing
+    assert (
+        b.resolve_artifact_path("/r", True, "/root/testdata/sf0.001")
+        == "/r/BENCH_result.rejected.json"
+    )
+
+
+def test_local_artifact_is_gitignored():
+    gi = open(os.path.join(_REPO, ".gitignore")).read()
+    assert "BENCH_result.local.json" in gi
