@@ -50,12 +50,94 @@ def resolve_artifact_path(
     gitignored BENCH_result.local.json): the committed record means
     "the graded sf0.1 configuration", and an sf0.001 smoke run that
     happens to finish with clean canaries must not replace it (this
-    exact near-miss happened in round 7's code-path testing)."""
+    exact near-miss happened in round 7's code-path testing). The
+    comparison is realpath-normalized (round-8 ADVICE): a symlinked or
+    relative alias of the graded dir must not divert a genuinely
+    graded clean run to the local file."""
     if contaminated and os.environ.get("SPARK_GRAFT_ALLOW_CONTAMINATED") != "1":
         return os.path.join(repo_dir, "BENCH_result.rejected.json")
-    if sf_dir.rstrip("/") != GRADED_SF_DIR:
+    if os.path.realpath(sf_dir) != os.path.realpath(GRADED_SF_DIR):
         return os.path.join(repo_dir, "BENCH_result.local.json")
     return os.path.join(repo_dir, "BENCH_result.json")
+
+
+# Keys that belong to each canary-certified section of the payload —
+# substitution swaps a section wholesale so numbers and their evidence
+# (draws, loadavg, canary) never mix across runs.
+SF01_SECTION_KEYS = (
+    "value", "queries", "draws", "loadavg", "canary",
+    "pipeline_e2e_sec", "pipeline_scale_sec", "pipeline_scale_input_bytes",
+)
+SF1_SECTION_KEYS = (
+    "sf1_queries", "sf1_ratio_vs_sf0.1", "sf1_total", "sf1_canary",
+    "sf1_loadavg", "sf1_draws", "incremental_scale_sec",
+)
+
+
+def substitute_clean_sections(
+    payload: dict, record: dict | None
+) -> tuple[dict, list[str]]:
+    """Round-7 VERDICT directive #2: the driver's BENCH_r{N}.json is a
+    capture of this process's stdout, so when a section's fresh canary
+    self-flags contaminated, the PRINTED payload must not embed the
+    poisoned draws next to the flag — round 7's driver artifact carried
+    sf1 numbers its own canary disowned. Swap any contaminated section
+    for the same section of the last-known-clean committed record
+    (``BENCH_result.json``), keeping provenance (the record's commit)
+    and the fresh canary as evidence of why. The FRESH measurements are
+    untouched — they still go wherever resolve_artifact_path routes
+    them (BENCH_result.rejected.json when contaminated); substitution
+    only shapes what is emitted as the primary payload. Returns
+    (emitted payload, list of substituted section names)."""
+    emit = dict(payload)
+    subbed: list[str] = []
+    if not record:
+        return emit, subbed
+    prov = record.get("commit")
+
+    def swap(keys: tuple[str, ...], fresh_canary: dict, tag: str) -> None:
+        for k in keys:
+            if k in record:
+                emit[k] = record[k]
+            elif k in emit:
+                del emit[k]
+        emit[f"{tag}_substituted"] = {
+            "from_commit": prov,
+            "reason": "fresh section canary flagged contaminated",
+            "fresh_canary": fresh_canary,
+        }
+        subbed.append(tag)
+
+    fresh_main = payload.get("canary", {})
+    rec_main = record.get("canary", {})
+    if fresh_main.get("contaminated") and rec_main and not rec_main.get(
+        "contaminated", True
+    ):
+        swap(SF01_SECTION_KEYS, fresh_main, "sf0.1")
+    fresh_sf1 = payload.get("sf1_canary")
+    rec_sf1 = record.get("sf1_canary")
+    if (
+        fresh_sf1
+        and fresh_sf1.get("contaminated")
+        and rec_sf1
+        and not rec_sf1.get("contaminated", True)
+    ):
+        swap(SF1_SECTION_KEYS, fresh_sf1, "sf1")
+    return emit, subbed
+
+
+def _git_head(repo_dir: str) -> str | None:
+    """Short commit hash stamped into every payload so a substituted
+    section can cite exactly which build produced its numbers."""
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 - provenance is best-effort
+        return None
 
 
 def _loadavg() -> float | None:
@@ -170,7 +252,25 @@ def main() -> None:
             time.sleep(30)
             waited += 30
             loadavg_start = _loadavg()
-        canary_start = min(canary_start, min(timed_draws(canary_spec, sf_dir, 3)[0]))
+        if loadavg_start is not None and loadavg_start > 8:
+            # the cap expired with loadavg still over threshold: real
+            # neighbor load, and the run will be flagged contaminated
+            # on that reading regardless — skip the canary re-measure
+            # (a warm pass + 3 timed draws on a known-loaded box buys
+            # nothing; round-8 ADVICE), and under the scripted
+            # re-run-until-clean contract bail before spending ~45 min
+            # on a bench destined for BENCH_result.rejected.json
+            print(f"# ** settle cap expired with loadavg {loadavg_start} "
+                  f"> 8 — skipping canary re-measure; run will be flagged",
+                  file=sys.stderr)
+            if os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN") == "1":
+                print("# ** SPARK_GRAFT_REQUIRE_CLEAN=1 — bailing before "
+                      "the full bench (no artifact written)", file=sys.stderr)
+                sys.exit(3)
+        else:
+            canary_start = min(
+                canary_start, min(timed_draws(canary_spec, sf_dir, 3)[0])
+            )
     print(f"# canary q1 start: {canary_start:.3f}s (loadavg {loadavg_start})",
           file=sys.stderr)
 
@@ -352,11 +452,14 @@ def main() -> None:
                               f"skipping", file=sys.stderr)
                         continue
                 best = float("inf")
-                # x10/x100: best of 2 timed draws (same floor-noise
-                # argument as e2e); x1000 keeps 1 timed draw — at ~140 s
-                # a repeat buys little for its cost, and the data term
-                # there dwarfs the scheduling noise being guarded against
-                for i in range(2 if mult >= 1000 else 3):
+                # best of 2 timed draws for EVERY multiplier, x1000
+                # included (round-7 VERDICT directive #7): x1000's
+                # single timed draw spread 97.6 s driver vs 155.9 s
+                # builder across r7 runs — 60% draw noise that reads as
+                # regression on the section's headline scale row; the
+                # second ~150 s draw is what makes the slope claim a
+                # measurement
+                for i in range(3):
                     _release_state(spark)
                     t0 = time.perf_counter()
                     os_out, app_out = _pipeline.run(spark, sroot)
@@ -734,13 +837,13 @@ def main() -> None:
     # truncated the (long) result line mid-JSON ("parsed": null) — write
     # the payload to a committed file FIRST so a parseable copy always
     # exists, then print the contract's single JSON line.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    payload["commit"] = _git_head(repo_dir)
     any_contaminated = bool(
         payload["canary"].get("contaminated")
         or payload.get("sf1_canary", {}).get("contaminated")
     )
-    out_path = resolve_artifact_path(
-        os.path.dirname(os.path.abspath(__file__)), any_contaminated, sf_dir
-    )
+    out_path = resolve_artifact_path(repo_dir, any_contaminated, sf_dir)
     if out_path.endswith(".rejected.json"):
         print("# ** CONTAMINATED RUN — payload diverted to "
               "BENCH_result.rejected.json; the committed BENCH_result.json "
@@ -753,6 +856,44 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
+    # PRINTED payload: when a section self-flagged contaminated, emit
+    # the last-known-clean section from the committed record instead of
+    # the poisoned draws (round-7 VERDICT directive #2 — the driver's
+    # per-round artifact is a stdout capture and must never carry
+    # numbers the run's own canary disowned). Only at the graded SF:
+    # an sf0.001 smoke run must not dress itself in sf0.1 numbers.
+    emit, subbed = payload, []
+    if any_contaminated and os.path.realpath(sf_dir) == os.path.realpath(
+        GRADED_SF_DIR
+    ):
+        rec_path = os.path.join(repo_dir, "BENCH_result.json")
+        record = None
+        if os.path.exists(rec_path):
+            try:
+                with open(rec_path) as rf:
+                    record = json.load(rf)
+            except Exception:  # noqa: BLE001 - a corrupt record can't help
+                record = None
+        if record is not None and "commit" not in record:
+            # pre-round-8 records carry no commit stamp — cite the
+            # commit that last touched the committed record instead
+            try:
+                import subprocess
+
+                record["commit"] = subprocess.run(
+                    ["git", "-C", repo_dir, "log", "-n1", "--format=%h",
+                     "--", "BENCH_result.json"],
+                    capture_output=True, text=True, check=True,
+                ).stdout.strip() or None
+            except Exception:  # noqa: BLE001
+                record["commit"] = None
+        emit, subbed = substitute_clean_sections(payload, record)
+        if subbed:
+            print(f"# ** substituted last-known-clean section(s) "
+                  f"{subbed} from BENCH_result.json (commit "
+                  f"{record.get('commit')}) into the printed payload; "
+                  f"fresh draws preserved at {os.path.basename(out_path)}",
+                  file=sys.stderr)
     # the printed contract line stays COMPACT: the driver captures the
     # tail of stdout and has truncated long lines mid-JSON before
     # ("parsed": null in BENCH_r03/r04) — the per-draw and per-query
@@ -761,7 +902,7 @@ def main() -> None:
     # enough to keep inline.
     compact = {
         k: v
-        for k, v in payload.items()
+        for k, v in emit.items()
         if k not in ("draws", "loadavg", "sf1_loadavg", "sf1_draws")
     }
     print(json.dumps(compact))
@@ -772,43 +913,47 @@ def main() -> None:
     # per-query maps — guaranteed to land whole inside the window; the
     # full detail lives in the committed BENCH_result.json and the
     # compact line above.
-    ratios_all = payload.get("sf1_ratio_vs_sf0.1", {})
+    ratios_all = emit.get("sf1_ratio_vs_sf0.1", {})
     worst5 = dict(
         sorted(ratios_all.items(), key=lambda kv: -kv[1])[:5]
     )
     summary = {
-        "metric": payload["metric"],
-        "value": payload["value"],
+        "metric": emit["metric"],
+        "value": emit["value"],
         "unit": "sec",
-        "sf": payload["sf"],
+        "sf": emit["sf"],
         # contract-shaped {name: sec} map, capped to the 5 slowest so
         # the line stays inside the capture window; full map above +
         # in BENCH_result.json
         "queries": dict(
-            sorted(payload["queries"].items(), key=lambda kv: -kv[1])[:5]
+            sorted(emit["queries"].items(), key=lambda kv: -kv[1])[:5]
         ),
-        "n_queries": len(payload["queries"]),
-        "canary_drift": payload["canary"]["drift"],
-        "contaminated": payload["canary"].get("contaminated", False),
+        "n_queries": len(emit["queries"]),
+        "canary_drift": emit["canary"]["drift"],
+        "contaminated": emit["canary"].get("contaminated", False),
         # basename, not a hardcoded name: a contaminated run's payload
         # is diverted to BENCH_result.rejected.json, and the summary
         # must point at the file THIS run actually wrote, not at the
         # previous clean run's record
         "full": os.path.basename(out_path),
     }
-    if "sf1_total" in payload:
-        summary["sf1_total"] = payload["sf1_total"]
-        summary["sf1_canary_drift"] = payload["sf1_canary"]["drift"]
-        summary["sf1_contaminated"] = payload["sf1_canary"].get(
+    if subbed:
+        # the honesty marker rides the summary too: these sections are
+        # the committed record's numbers, not this run's draws
+        summary["substituted_sections"] = subbed
+    if "sf1_total" in emit:
+        summary["sf1_total"] = emit["sf1_total"]
+        summary["sf1_canary_drift"] = emit["sf1_canary"]["drift"]
+        summary["sf1_contaminated"] = emit["sf1_canary"].get(
             "contaminated", False
         )
         summary["sf1_worst5_ratios"] = worst5
-    if "pipeline_e2e_sec" in payload:
-        summary["pipeline_e2e_sec"] = payload["pipeline_e2e_sec"]
-    if "pipeline_scale_sec" in payload:
-        summary["pipeline_scale_sec"] = payload["pipeline_scale_sec"]
-    if "incremental_scale_sec" in payload:
-        summary["incremental_scale_sec"] = payload["incremental_scale_sec"]
+    if "pipeline_e2e_sec" in emit:
+        summary["pipeline_e2e_sec"] = emit["pipeline_e2e_sec"]
+    if "pipeline_scale_sec" in emit:
+        summary["pipeline_scale_sec"] = emit["pipeline_scale_sec"]
+    if "incremental_scale_sec" in emit:
+        summary["incremental_scale_sec"] = emit["incremental_scale_sec"]
     print(json.dumps(summary))
     if any_contaminated and os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN") == "1":
         # hard gate for scripted re-run-until-clean loops: the artifact

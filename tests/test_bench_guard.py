@@ -67,3 +67,114 @@ def test_non_graded_sf_is_diverted_even_when_clean(monkeypatch):
 def test_local_artifact_is_gitignored():
     gi = open(os.path.join(_REPO, ".gitignore")).read()
     assert "BENCH_result.local.json" in gi
+
+
+def test_graded_dir_alias_still_writes_the_committed_record(tmp_path):
+    # round-8 ADVICE: a symlinked/relative alias of the graded sf0.1
+    # dir must not divert a genuinely graded clean run to the local
+    # file — the compare is realpath-normalized now
+    b = _bench()
+    link = tmp_path / "sf-alias"
+    os.symlink(b.GRADED_SF_DIR, link)
+    assert b.resolve_artifact_path("/r", False, str(link)) == "/r/BENCH_result.json"
+    assert (
+        b.resolve_artifact_path("/r", False, "/root/testdata/../testdata/sf0.1/")
+        == "/r/BENCH_result.json"
+    )
+
+
+def _payload(main_bad: bool, sf1_bad: bool) -> dict:
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": 99.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"q1_pricing_summary": 9.0},
+        "draws": {"q1_pricing_summary": [9.0]},
+        "loadavg": {"q1_pricing_summary": 22.0},
+        "canary": {"drift": 2.0 if main_bad else 1.0, "contaminated": main_bad},
+        "pipeline_e2e_sec": 99.0,
+        "sf1_queries": {"q1_pricing_summary": 30.0},
+        "sf1_ratio_vs_sf0.1": {"q1_pricing_summary": 3.3},
+        "sf1_total": 30.0,
+        "sf1_canary": {"drift": 1.7 if sf1_bad else 1.0, "contaminated": sf1_bad},
+        "sf1_loadavg": {},
+        "sf1_draws": {},
+        "incremental_scale_sec": {"sf3": 9.9},
+    }
+
+
+_RECORD = {
+    "value": 50.0,
+    "queries": {"q1_pricing_summary": 5.0},
+    "draws": {"q1_pricing_summary": [5.0]},
+    "loadavg": {"q1_pricing_summary": 0.5},
+    "canary": {"drift": 1.0, "contaminated": False},
+    "pipeline_e2e_sec": 25.0,
+    "sf1_queries": {"q1_pricing_summary": 10.0},
+    "sf1_ratio_vs_sf0.1": {"q1_pricing_summary": 2.0},
+    "sf1_total": 10.0,
+    "sf1_canary": {"drift": 1.0, "contaminated": False},
+    "sf1_loadavg": {},
+    "sf1_draws": {},
+    "incremental_scale_sec": {"sf3": 0.5},
+    "commit": "abc1234",
+}
+
+
+def test_contaminated_sf1_section_is_substituted_with_provenance():
+    # round-7 VERDICT directive #2: the printed payload must never
+    # carry a section its own canary disowned — swap in the committed
+    # record's clean section, keep the fresh canary as evidence
+    b = _bench()
+    emit, subbed = b.substitute_clean_sections(_payload(False, True), _RECORD)
+    assert subbed == ["sf1"]
+    assert emit["sf1_queries"] == {"q1_pricing_summary": 10.0}
+    assert emit["sf1_total"] == 10.0
+    assert emit["sf1_canary"]["contaminated"] is False
+    assert emit["incremental_scale_sec"] == {"sf3": 0.5}
+    assert emit["sf1_substituted"]["from_commit"] == "abc1234"
+    assert emit["sf1_substituted"]["fresh_canary"]["drift"] == 1.7
+    # the sf0.1 section was clean — untouched
+    assert emit["value"] == 99.0
+    assert emit["canary"]["contaminated"] is False
+
+
+def test_contaminated_main_section_is_substituted_independently():
+    b = _bench()
+    emit, subbed = b.substitute_clean_sections(_payload(True, False), _RECORD)
+    assert subbed == ["sf0.1"]
+    assert emit["value"] == 50.0
+    assert emit["queries"] == {"q1_pricing_summary": 5.0}
+    assert emit["pipeline_e2e_sec"] == 25.0
+    assert emit["canary"]["contaminated"] is False
+    assert emit["sf0.1_substituted"]["fresh_canary"]["drift"] == 2.0
+    # fresh sf1 stays
+    assert emit["sf1_total"] == 30.0
+
+
+def test_no_substitution_without_a_clean_record():
+    b = _bench()
+    fresh = _payload(False, True)
+    # no record at all
+    emit, subbed = b.substitute_clean_sections(fresh, None)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+    # record whose matching section is itself contaminated
+    bad = dict(_RECORD, sf1_canary={"drift": 2.0, "contaminated": True})
+    emit, subbed = b.substitute_clean_sections(fresh, bad)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+    # legacy record missing the flag entirely — treated as not-clean
+    legacy = {k: v for k, v in _RECORD.items() if k != "sf1_canary"}
+    emit, subbed = b.substitute_clean_sections(fresh, legacy)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+
+
+def test_substitution_drops_fresh_only_keys_absent_from_record():
+    # a fresh sf1 section key with no counterpart in the record must
+    # not survive as a fresh-contaminated orphan inside a substituted
+    # section
+    b = _bench()
+    rec = {k: v for k, v in _RECORD.items() if k != "incremental_scale_sec"}
+    emit, subbed = b.substitute_clean_sections(_payload(False, True), rec)
+    assert subbed == ["sf1"]
+    assert "incremental_scale_sec" not in emit

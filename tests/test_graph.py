@@ -377,11 +377,14 @@ def test_label_propagation_fallback_plan_identical(spark):
 
 
 def test_label_propagation_gate_comment_matches_constant(spark):
-    # the 50M→20M gate change (round 7, ADVICE: hashed-relation
-    # expansion vs the fixed 8g heap) must not silently drift back up
+    # the 50M→20M→10M gate changes (round 7: hashed-relation expansion
+    # vs the fixed 8g heap; round 8, ADVICE: the broadcast posture
+    # holds TWO concurrent node-scale relations per round — labels +
+    # argmax result — with prior rounds released only lazily) must not
+    # silently drift back up
     from vul_dbgen_spark.operators.graph import LPA_BROADCAST_NODE_GATE
 
-    assert LPA_BROADCAST_NODE_GATE == 20_000_000
+    assert LPA_BROADCAST_NODE_GATE == 10_000_000
 
 
 def test_wedge_bloom_sizing_invariant():

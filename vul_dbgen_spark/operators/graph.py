@@ -55,12 +55,19 @@ WEDGE_BLOOM_MAX_BITS = 1 << 30  # 128 MiB packed — heavy but legal broadcast
 
 # LPA label-broadcast gate: a forced F.broadcast of the O(nodes) label
 # frame builds a driver-side hashed relation ~3-4× the raw (node, label)
-# bytes; 20M nodes ≈ 1-1.3 GB hashed, sized against the fixed 8 GB
-# driver heap the session pins (the two were changed together in round 7
-# after round 6 set a 50M raw-bytes-only constant). Past the gate the
-# plan falls back to u-partitioned edges + a shuffled label join — the
+# bytes. The gate must be sized for TWO concurrent node-scale broadcasts
+# (round-7 ADVICE): in the broadcast posture each round forces both the
+# labels relation AND the argmax-result relation, and prior rounds'
+# broadcasts are only released lazily by the async ContextCleaner after
+# a driver GC — so near the gate 2-3 rounds can hold several node-scale
+# hashed relations at once. 10M nodes ≈ 0.5-0.65 GB hashed each →
+# ~1-1.3 GB live per round, a few GB worst-case with lazy release,
+# against the fixed 8 GB heap the session pins (round 7's 20M constant
+# counted only ONE relation; round 6's 50M counted raw bytes only).
+# Past the gate the plan falls back to u-partitioned edges + shuffled
+# labels with a union-seed argmax (no per-round node-scale join) — the
 # fallback's exact equality is pinned in tests/test_graph.py.
-LPA_BROADCAST_NODE_GATE = 20_000_000
+LPA_BROADCAST_NODE_GATE = 10_000_000
 
 
 def wedge_bloom_bits(n_edges: int) -> int:
@@ -729,12 +736,14 @@ def label_propagation(
 
     WHICH key the edge list is partitioned on depends on whether the
     label frame is broadcastable (round-6 measurement). Labels are
-    O(nodes): while that fits a broadcast (gate: ≤20M nodes — raw label
-    bytes are ~320 MB there, but the driver-built hashed relation a
-    forced F.broadcast produces runs ~3-4× raw (per-row UnsafeRow +
-    bucket array overhead), so ~1-1.3 GB against the fixed 8 GB heap;
-    the earlier 50M "≈800 MB" constant counted raw bytes only and was
-    never validated near the boundary), partition
+    O(nodes): while that fits a broadcast (gate: ≤10M nodes — the
+    driver-built hashed relation a forced F.broadcast produces runs
+    ~3-4× raw bytes (per-row UnsafeRow + bucket array overhead), and
+    each broadcast round holds TWO such node-scale relations at once
+    (labels + the argmax result) with prior rounds' relations released
+    only lazily by the ContextCleaner — see the gate constant's sizing
+    comment; the earlier 20M constant counted one relation, the 50M
+    one raw bytes only), partition
     ``sym`` by the DESTINATION ``v`` and broadcast the labels into the
     per-round join — ``HashPartitioning(v)`` satisfies the
     ``groupBy(v, label)`` clustering (the partitioning key is a subset
@@ -747,7 +756,11 @@ def label_propagation(
     gate, broadcasting the label frame would OOM the executors, so the
     plan falls back to u-partitioned ``sym`` + shuffling the label
     frame to it per round — the 2E-row aggregate exchange returns, but
-    every side stays bounded.
+    every side stays bounded; there the keep-current rule rides a
+    (node, label, c=0) seed row unioned into the counts so one total
+    argmax covers isolated nodes, instead of a second shuffled
+    O(nodes) join per round (the coalesce-join form only pays off when
+    the argmax result is broadcastable).
     """
     sym = (
         _symmetrize(edges, src, dst)
@@ -792,38 +805,71 @@ def label_propagation(
             .groupBy("n2", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # Both aggregates are ZERO exchange in the broadcast posture:
-        # the join output keeps sym's HashPartitioning(v), which
-        # satisfies groupBy(v, label) AND the argmax's groupBy(v) (the
-        # aggregate preserves its child's partitioning). The
-        # keep-current rule for nodes with no neighbor rows is a
-        # coalesce LEFT JOIN against the O(nodes) argmax result —
-        # broadcast below the gate, so the round runs shuffle-free.
-        # (Round 6 used a (node, label, c=0) seed row unioned into cnt
-        # so one total argmax covered isolated nodes — but the union
-        # DESTROYS the aggregate's partitioning and forces a full
-        # exchange of the counts table, O(distinct (v, label)) rows ≈
-        # up to 2E. Measured at sf1, 24M symmetrized edges: warm draws
-        # ~equal (16-19 s both), cold draws 30-38 s union vs 18-20 s
-        # join — and at 100x the eliminated exchange is edge-scale
-        # while the broadcast stays node-scale. Semantics identical:
-        # the seed's c=0 never beat a real neighbor count anyway, so
-        # argmax-over-neighbors + keep-current-on-miss is the same
-        # function; pinned by the hand-graph tests and the unrolled
-        # SQL oracle.)
-        arg = (
-            cnt.groupBy("n2")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("new_label"))
-        )
-        arg_side = F.broadcast(arg) if bcast_labels else arg
-        labels = (
-            labels.join(arg_side, "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
+        if bcast_labels:
+            # Both aggregates are ZERO exchange in the broadcast
+            # posture: the join output keeps sym's HashPartitioning(v),
+            # which satisfies groupBy(v, label) AND the argmax's
+            # groupBy(v) (the aggregate preserves its child's
+            # partitioning). The keep-current rule for nodes with no
+            # neighbor rows is a coalesce LEFT JOIN against the
+            # O(nodes) argmax result — broadcast below the gate, so the
+            # round runs shuffle-free. (Round 6 used a (node, label,
+            # c=0) seed row unioned into cnt so one total argmax
+            # covered isolated nodes — but the union DESTROYS the
+            # aggregate's partitioning and forces a full exchange of
+            # the counts table, O(distinct (v, label)) rows ≈ up to 2E.
+            # Measured at sf1, 24M symmetrized edges: warm draws ~equal
+            # (16-19 s both), cold draws 30-38 s union vs 18-20 s join
+            # — and at 100x the eliminated exchange is edge-scale while
+            # the broadcast stays node-scale. Semantics identical: the
+            # seed's c=0 never beat a real neighbor count anyway, so
+            # argmax-over-neighbors + keep-current-on-miss is the same
+            # function; pinned by the hand-graph tests, the two-posture
+            # equality test, and the unrolled SQL oracle.)
+            arg = (
+                cnt.groupBy("n2")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("new_label"))
             )
-            .localCheckpoint()
-        )
+            labels = (
+                labels.join(F.broadcast(arg), "node", "left")
+                .select(
+                    "node", F.coalesce("new_label", "label").alias("label")
+                )
+                .localCheckpoint()
+            )
+        else:
+            # Past-gate posture keeps the union-seed argmax instead
+            # (round-8 ADVICE): here cnt is already exchanged by the
+            # label shuffle, so the broadcast posture's partitioning
+            # argument doesn't apply — and a labels⋈arg keep-current
+            # LEFT JOIN would add a second O(nodes) shuffled exchange
+            # per round that the seed row avoids. The (node, current
+            # label, c=0) seed never beats a real neighbor count
+            # (c ≥ 1), so one total argmax is the same function as
+            # argmax + coalesce — pinned by the forced-flag equality
+            # test in tests/test_graph.py.
+            seeded = cnt.union(
+                labels.select(
+                    F.col("node").alias("n2"),
+                    "label",
+                    F.lit(0).cast("long").alias("c"),
+                )
+            )
+            labels = (
+                seeded.groupBy("n2")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("label"))
+                .localCheckpoint()
+            )
     nodes.unpersist()
     sym.unpersist()
     return labels

@@ -309,9 +309,10 @@ def semdedup_routed_incremental(
     standing corpus is NEVER shuffled for a join — holds in this
     posture too (pinned with a no-SMJ/SHJ plan assertion plus exact
     two-posture equality in tests/test_semdedup.py, the LPA-fallback
-    pattern); the price is one corpus scan per slice, which at 100 TB
-    is the columnar re-read you accept to keep a multi-TB shuffle off
-    the table (or amortize by persisting the prepped corpus)."""
+    pattern); the prepped corpus frame is persisted in this posture so
+    the per-slice price is a cache scan, not a re-run of the routing
+    argmin per slice — the storage you accept to keep both a multi-TB
+    shuffle and ``delta_slices``× routing compute off the table."""
     from .similarity import _argmin_centroid
 
     def prep(df: DataFrame) -> DataFrame:
@@ -326,6 +327,21 @@ def semdedup_routed_incremental(
         F.col("v").alias("vc"),
         F.expr(dot_sql("v", "v", dim)).alias("n2c"),
     )
+    if delta_slices > 1:
+        # sliced posture: each slice's cell join is a separate subtree
+        # over the SAME corpus plan, so without a persist every slice
+        # re-executes the full corpus prep (quantize + the k×dim
+        # routing argmin), multiplying the corpus-side COMPUTE by the
+        # slice count — not just the columnar re-read (round-8 ADVICE).
+        # A lazy persist materializes the prepped (cell, vc, n2c) frame
+        # on the first slice's scan and serves the rest from cache
+        # (spilling to disk past memory); at 100 TB this is the
+        # docstring's "amortize by persisting" trade — prepped-corpus
+        # storage in exchange for one routing pass instead of
+        # ``delta_slices`` of them.
+        from pyspark import StorageLevel
+
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     # the bounded delta is read twice (screen + final verdict join):
     # checkpoint the ≤batch-size rows so the parquet scan and the
     # routing argmin run once

@@ -9378,18 +9378,46 @@ def export_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scd2_order_priority_history, pack_sequences, unpivot_event_matrix,
 # semdedup_keep, sample_cell_balanced, semdedup_incremental, and the 13
 # r6 TPC-H breadth entries (q6-q22).
-# Remaining never-driver-graded after this round (29): bpe_compression_
-# eval, bpe_vocab_counts, cluster_prototypes_topk, cohort_retention,
+# Round-7 left 29 never-driver-graded entries (list in the round-8
+# paragraph below) — one more rotation finishes the registry.
+# Round-8 rotation (VERDICT r7 directive #1 — the registry CLOSER): all
+# 29 remaining never-driver-graded entries rotate in, so after this
+# round every one of the 195 catalog entries holds a driver CORRECTNESS
+# row (166 cumulative + these 29). In: bpe_compression_eval,
+# bpe_vocab_counts, cluster_prototypes_topk, cohort_retention,
 # curation_pipeline_counts, dq_expectations, embedding_label_centroid,
 # fk_integrity_audit, funnel_user_conversion, hard_negatives_ivf,
 # hist_order_totals, islands_user_streaks, json_props_stats,
-# k_anonymity_audit,
-# lateral_topn_orders, monthly_revenue_growth, ngram_novelty_curve,
-# order_gap_stats, outliers_mad_events, peak_open_lineitems,
-# pii_redact_contacts, profile_lineitem, quality_linear_score,
-# revenue_concentration, set_ops_repeat_customers,
-# sketch_rollup_distinct, stats_price_regression, text_length_deciles,
-# variant_k_histogram — one more rotation finishes the registry.
+# k_anonymity_audit, lateral_topn_orders, monthly_revenue_growth,
+# ngram_novelty_curve, order_gap_stats, outliers_mad_events,
+# peak_open_lineitems, pii_redact_contacts, profile_lineitem,
+# quality_linear_score, revenue_concentration,
+# set_ops_repeat_customers, sketch_rollup_distinct,
+# stats_price_regression, text_length_deciles, variant_k_histogram
+# (every one judge-verified green against DuckDB at r7 HEAD via
+# drive_contract, so the rotation is risk-free by construction).
+# The 21 anchors keep: the 9 pinned reps (q1/q5 TPC-H, the flagship
+# composition, j1/a9/f1/k1/u1/w1 — test_window.py's must-set), the
+# round-8 PLAN_CHANGED entries (graph_label_propagation — broadcast
+# gate halved to 10M for two-concurrent-relation sizing AND the
+# past-gate posture reverts to the union-seed argmax, round-8 ADVICE;
+# both routed-SemDeDup wrappers — their shared operator gained the
+# sliced-posture corpus persist), and one rep per big operator family:
+# dedup_incremental (dedup + the flat-slope scale closer),
+# train_kmeans_lloyd (training), bm25_topk (search),
+# ann_ivf_kmeans_topk (ANN), graph_triangle_stats (graph census; also
+# under the r8 sf1 A/B directive), stream_tumbling_counts (streaming),
+# ts_gapfill_interp (time-series), incremental_agg_merge
+# (maintenance), bloom_prefilter_join (sketches). Out (all 29 r7
+# window members rotate out holding green CORRECTNESS_r07 driver rows
+# + full local parity; every family keeps a graded member on record):
+# graph_khop_reach, graph_khop_reach_rcte, doc_unigram_logxent,
+# train_logreg_gd, score_auc_eval, text_repetition,
+# more_like_this_tfidf, centroid_assign_confusion, the 8 dedup
+# verify/cluster/canonical/winnowing/embedding entries, w6,
+# weighted_median_price, ann_int8_topk, asof tolerance, bootstrap CI,
+# heavy hitters, token entropy/KL, ngram_doc_freq, both sampling
+# entries, pack_bins_fill, hard_negatives_topk.
 GRADED_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q5_region_revenue",
@@ -9400,8 +9428,10 @@ GRADED_WINDOW: list[str] = [
     "k1_bucket_split",
     "u1_union_dedup",
     "w1_running_total",
-    "dedup_incremental",
+    "graph_label_propagation",
+    "semdedup_routed_incremental",
     "semdedup_routed_incremental_bulk",
+    "dedup_incremental",
     "train_kmeans_lloyd",
     "bm25_topk",
     "ann_ivf_kmeans_topk",
@@ -9410,37 +9440,35 @@ GRADED_WINDOW: list[str] = [
     "ts_gapfill_interp",
     "incremental_agg_merge",
     "bloom_prefilter_join",
-    "graph_label_propagation",
-    "graph_khop_reach",
-    "graph_khop_reach_rcte",
-    "doc_unigram_logxent",
-    "train_logreg_gd",
-    "score_auc_eval",
-    "text_repetition",
-    "more_like_this_tfidf",
-    "centroid_assign_confusion",
-    "dedup_lsh_jaccard_verify",
-    "dedup_lsh_edit_verify",
-    "dedup_cluster_sizes",
-    "dedup_keep_canonical",
-    "dedup_canonical_text",
-    "dedup_rate_by_source",
-    "dedup_winnowing_fps",
-    "dedup_embedding_clusters",
-    "w6_rolling_hour_value",
-    "weighted_median_price",
-    "ann_int8_topk",
-    "asof_tolerance_order_before_event",
-    "bootstrap_ci_order_value",
-    "heavy_hitters_tokens",
-    "token_entropy_per_source",
-    "token_kl_per_source",
-    "ngram_doc_freq",
-    "sample_weighted_per_domain",
-    "sample_sqrt_cap",
-    "pack_bins_fill",
-    "hard_negatives_topk",
-    "semdedup_routed_incremental",
+    "bpe_compression_eval",
+    "bpe_vocab_counts",
+    "cluster_prototypes_topk",
+    "cohort_retention",
+    "curation_pipeline_counts",
+    "dq_expectations",
+    "embedding_label_centroid",
+    "fk_integrity_audit",
+    "funnel_user_conversion",
+    "hard_negatives_ivf",
+    "hist_order_totals",
+    "islands_user_streaks",
+    "json_props_stats",
+    "k_anonymity_audit",
+    "lateral_topn_orders",
+    "monthly_revenue_growth",
+    "ngram_novelty_curve",
+    "order_gap_stats",
+    "outliers_mad_events",
+    "peak_open_lineitems",
+    "pii_redact_contacts",
+    "profile_lineitem",
+    "quality_linear_score",
+    "revenue_concentration",
+    "set_ops_repeat_customers",
+    "sketch_rollup_distinct",
+    "stats_price_regression",
+    "text_length_deciles",
+    "variant_k_histogram",
 ]
 
 # Anchor policy as CODE (round-6 VERDICT directive #8): any catalog
@@ -9451,14 +9479,17 @@ GRADED_WINDOW: list[str] = [
 # round 6 is exactly what it prevents); tests/test_window.py asserts
 # containment, so forgetting the window update fails CI, not the judge.
 PLAN_CHANGED_THIS_ROUND: list[str] = [
-    # round 7:
-    "graph_triangle_stats",        # Arrow bloom packing + sizing helper
-    "graph_label_propagation",     # gate 50M -> 20M; shuffle-free round
-    "bloom_prefilter_join",        # bloom_pack returns numpy; lit path
-    # BOTH wrappers of kmeans.semdedup_routed_incremental (the operator
-    # gained the delta_slices tranche posture): the policy is
-    # entry-level, so every catalog entry over a changed operator stays
-    # graded, not just one representative
+    # round 8:
+    # broadcast gate 20M -> 10M (two concurrent node-scale hashed
+    # relations per round, round-8 ADVICE) AND the past-gate posture
+    # reverts to the union-seed argmax instead of a second shuffled
+    # O(nodes) keep-current join per round
+    "graph_label_propagation",
+    # BOTH wrappers of kmeans.semdedup_routed_incremental: the operator
+    # now persists the prepped corpus in the delta_slices>1 posture so
+    # slices re-read cache instead of re-running the routing argmin
+    # (round-8 ADVICE); the policy is entry-level, so every catalog
+    # entry over a changed operator stays graded
     "semdedup_routed_incremental",
     "semdedup_routed_incremental_bulk",
 ]
