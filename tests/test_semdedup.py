@@ -260,6 +260,13 @@ def test_routed_incremental_sliced_posture_identical_and_unshuffled(spark):
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan, plan
         assert "ShuffledHashJoin" not in plan, plan
+        if slices > 1:
+            # round-8 ADVICE: each slice's cell join is a separate
+            # subtree over the same corpus plan, so the sliced posture
+            # must serve slices 2..n from the persisted prep (an
+            # InMemoryTableScan in the plan), not re-run the routing
+            # argmin per slice
+            assert "InMemoryTableScan" in plan, plan
         runs[slices] = sorted(tuple(r) for r in df.collect())
     assert runs[1] == runs[3]
     assert len(runs[1]) == 201
