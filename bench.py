@@ -372,6 +372,18 @@ def main() -> None:
         from vul_dbgen_spark.plans import pipeline as _pipeline
         from vul_dbgen_spark.sinks import memdb as _memdb
 
+        # fresh SparkContext for the composition section — the same
+        # rationale as the sf1 restart below: entering this section
+        # right after ~50 queries of shared-JVM residue inflated the x1
+        # row to ~2x its fresh-JVM floor in BOTH r7 and r8 runs (48.5 s
+        # and 50.7 s best-of-2 vs a 25 s floor measured in fresh JVMs,
+        # while x10 in the SAME section read 25 s — the inflation dies
+        # off as the section runs). The x1 row is the denominator of
+        # every pipeline_scale ratio; it should measure the dataflow,
+        # not the prior section's heap state.
+        spark.stop()
+        spark = get_spark("vul_dbgen_spark_bench_e2e")
+
         # best of 2 timed draws (was 1): the r7 run recorded x1 = 48.5 s
         # against x10 = 30.3 s — a single timed draw makes the x1 floor
         # (the denominator of every scale ratio) the noisiest number in
