@@ -73,6 +73,29 @@ SF1_SECTION_KEYS = (
     "sf1_loadavg", "sf1_draws", "incremental_scale_sec",
 )
 
+# Mid-section canary rule (round 8): the start/end canary pair misses a
+# tenancy burst that arrives and LEAVES within a section. The observed
+# case (2026-08-16 re-run, preserved in BENCH_result.rejected.json): the
+# sf1 end drift read 1.22 — "clean" — while the training/graph rows in
+# the middle of the section ran 2-3x their idle-box floor, inflating
+# sf1_total 148 → 217 s. A sustained mid-run load also defeats the
+# per-row spread re-draw (both draws inflate equally, so max/min looks
+# fine). Interleaved q1 readings every ~10 benched rows close the gap:
+# q1 is deep-warm by mid-section, so a mid reading far above the
+# CLEANER of the section's start/end canaries is machine load, not
+# warmup. 1.6x keeps margin over clean-run jitter — deep-warm mid
+# readings normally sit at or BELOW the start canary (C2-settled), and
+# the burst that matters showed 2-3x.
+MID_CANARY_DRIFT_MAX = 1.6
+
+
+def mid_canary_drift(mids: list[float], floor: float) -> float | None:
+    """max(mid-section canary readings) / the section's clean canary
+    floor (min of start/end), or None when either side is missing."""
+    if not mids or not floor or floor <= 0:
+        return None
+    return round(max(mids) / floor, 2)
+
 
 def substitute_clean_sections(
     payload: dict, record: dict | None
@@ -217,6 +240,20 @@ def main() -> None:
                 draws.append(time.perf_counter() - t0)
         return draws, n
 
+    def mid_canary_reading(spec, d: str, floor_hint: float) -> float:
+        """One interleaved mid-section canary reading. A spike is
+        re-measured once after a 10 s settle: a reading taken right
+        after a heavy iterative row can measure the JVM digesting that
+        row's state, not the machine — observed 2.0 s q1 (6.9x) right
+        after dedup_clusters on an idle box (loadavg 2.4) in the
+        round-8 smoke run. Digestion decays within seconds; a neighbor
+        burst persists through the settle and keeps the reading high."""
+        mid = min(timed_draws(spec, d, 2)[0])
+        if mid > MID_CANARY_DRIFT_MAX * floor_hint:
+            time.sleep(10)
+            mid = min(mid, min(timed_draws(spec, d, 2)[0]))
+        return mid
+
     # condition canary, start-of-run reading: q1 is a light scan-agg
     # (no GC-heavy state), so its drift between the first and last
     # moments of the bench measures the MACHINE, not the engine. The
@@ -277,7 +314,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_draws: dict[str, list[float]] = {}
     loadavgs: dict[str, float | None] = {}
+    mid_canaries: list[float] = []
     total = 0.0
+    benched_i = 0
     for name, spec in REGISTRY.items():
         if not spec.bench:
             continue
@@ -297,6 +336,13 @@ def main() -> None:
         # a benched query that returns 0 rows measures an AQE-propagated
         # empty plan, not the operator (round 2's q9); fail loudly
         assert spec.expect_empty or n > 0, f"{name}: 0 rows — bench is vacuous"
+        # mid-section canary every ~10 rows (rule at MID_CANARY_DRIFT_MAX)
+        benched_i += 1
+        if benched_i % 10 == 0:
+            mid = mid_canary_reading(canary_spec, sf_dir, canary_start)
+            mid_canaries.append(round(mid, 3))
+            print(f"# canary q1 mid[{benched_i}]: {mid:.3f}s "
+                  f"(loadavg {_loadavg()})", file=sys.stderr)
 
     canary_end = min(timed_draws(canary_spec, sf_dir, 3)[0])
     loadavg_end = _loadavg()
@@ -322,13 +368,16 @@ def main() -> None:
     # within a few minutes of prior activity (the driver's normal
     # pattern) avoids it. Do NOT widen the bound for this: the same
     # low-drift signature is how a loaded start actually looks.
+    mid_drift_max = mid_canary_drift(mid_canaries, min(canary_start, canary_end))
     contaminated = (
         drift > 1.3
         or drift < 0.55
         or (loadavg_start is not None and loadavg_start > 8)
+        or (mid_drift_max is not None and mid_drift_max > MID_CANARY_DRIFT_MAX)
     )
     print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
-          f"drift {drift}x{' ** CONTAMINATED RUN' if contaminated else ''})",
+          f"drift {drift}x, mid-drift max {mid_drift_max}x"
+          f"{' ** CONTAMINATED RUN' if contaminated else ''})",
           file=sys.stderr)
     if loadavg_start is not None and loadavg_start > 8:
         print(f"# ** HIGH START LOADAVG {loadavg_start} — start canary "
@@ -347,6 +396,8 @@ def main() -> None:
             "start_sec": round(canary_start, 3),
             "end_sec": round(canary_end, 3),
             "drift": drift,
+            "mid_secs": mid_canaries,
+            "mid_drift_max": mid_drift_max,
             "contaminated": contaminated,
             "loadavg_start": loadavg_start,
             "loadavg_end": loadavg_end,
@@ -677,6 +728,7 @@ def main() -> None:
         ratios: dict[str, float] = {}
         sf1_loadavgs: dict[str, float | None] = {}
         sf1_all_draws: dict[str, list[float]] = {}
+        sf1_mid_canaries: list[float] = []
         for name in heavy:
             spec = REGISTRY[name]
             sf1_loadavgs[name] = _loadavg()
@@ -715,6 +767,16 @@ def main() -> None:
                 f"{ratios.get(name, float('nan'))}x vs sf0.1){flag}",
                 file=sys.stderr,
             )
+            # mid-section canary every 8 sf1 rows — this section is
+            # where both round-4's contamination and the 2026-08-16
+            # mid-run burst actually landed (rule at MID_CANARY_DRIFT_MAX)
+            if len(sf1_timings) % 8 == 0:
+                mid = mid_canary_reading(
+                    canary_spec, sf1_dir, sf1_canary_start
+                )
+                sf1_mid_canaries.append(round(mid, 3))
+                print(f"# canary q1@sf1 mid[{len(sf1_timings)}]: {mid:.3f}s "
+                      f"(loadavg {_loadavg()})", file=sys.stderr)
         # scale-path embedding dedup: production banding on dup-injected
         # vectors (tools/gen_sf1.py), ratio vs a 2k baseline from the
         # SAME generator + dup rate (fixtures/sf0.1syn) so both points
@@ -755,9 +817,18 @@ def main() -> None:
 
         sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
-        sf1_contaminated = sf1_drift > 1.3 or sf1_drift < 0.55
+        sf1_mid_drift_max = mid_canary_drift(
+            sf1_mid_canaries, min(sf1_canary_start, sf1_canary_end)
+        )
+        sf1_contaminated = (
+            sf1_drift > 1.3
+            or sf1_drift < 0.55
+            or (sf1_mid_drift_max is not None
+                and sf1_mid_drift_max > MID_CANARY_DRIFT_MAX)
+        )
         print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
-              f"{_loadavg()}, drift {sf1_drift}x"
+              f"{_loadavg()}, drift {sf1_drift}x, mid-drift max "
+              f"{sf1_mid_drift_max}x"
               f"{' ** CONTAMINATED RUN' if sf1_contaminated else ''})",
               file=sys.stderr)
         payload["sf1_queries"] = sf1_timings
@@ -768,6 +839,8 @@ def main() -> None:
             "start_sec": round(sf1_canary_start, 3),
             "end_sec": round(sf1_canary_end, 3),
             "drift": sf1_drift,
+            "mid_secs": sf1_mid_canaries,
+            "mid_drift_max": sf1_mid_drift_max,
             "contaminated": sf1_contaminated,
         }
         payload["sf1_loadavg"] = sf1_loadavgs

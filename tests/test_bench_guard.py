@@ -178,3 +178,28 @@ def test_substitution_drops_fresh_only_keys_absent_from_record():
     emit, subbed = b.substitute_clean_sections(_payload(False, True), rec)
     assert subbed == ["sf1"]
     assert "incremental_scale_sec" not in emit
+
+
+def test_mid_canary_drift_rule():
+    # round 8: the start/end canary pair certified a run whose MIDDLE
+    # ran 2-3x under a neighbor burst (sf1 drift read 1.22 "clean"
+    # while sf1_total inflated 148 -> 217 s). The interleaved readings
+    # close that blind spot.
+    b = _bench()
+    # the observed burst shape: floor 0.30s, mid readings spike to 0.9s
+    assert b.mid_canary_drift([0.28, 0.9, 0.31], 0.30) == 3.0
+    assert b.mid_canary_drift([0.28, 0.9, 0.31], 0.30) > b.MID_CANARY_DRIFT_MAX
+    # clean-run shape: deep-warm mids sit at or below the floor canary
+    assert b.mid_canary_drift([0.27, 0.25, 0.29], 0.30) <= 1.0
+    # no data / degenerate floor -> no verdict, never a crash
+    assert b.mid_canary_drift([], 0.30) is None
+    assert b.mid_canary_drift([0.3], 0.0) is None
+    assert b.mid_canary_drift([0.3], None) is None
+
+
+def test_mid_canary_threshold_has_margin():
+    # 1.6x must sit between clean-run jitter (~1.0-1.3x worst observed
+    # on this box's canary pairs) and the burst that matters (2-3x) —
+    # a threshold drifting out of that band silently disables the rule
+    b = _bench()
+    assert 1.4 <= b.MID_CANARY_DRIFT_MAX <= 2.0
