@@ -97,6 +97,25 @@ def mid_canary_drift(mids: list[float], floor: float) -> float | None:
     return round(max(mids) / floor, 2)
 
 
+def mid_canary_flag(
+    mids: list[float], floor: float
+) -> tuple[float | None, int, bool]:
+    """(max ratio, count of spiked readings, contaminated). The flag
+    needs TWO readings over threshold, not one: a lone spike that
+    survives the settle-retry is still most often the JVM digesting the
+    preceding heavy row (observed 0.83 s q1 after dedup_clusters with
+    the retry, on a box whose loadavg said busy-from-our-own-runs, not
+    neighbors), while the burst worth rejecting a section over spans
+    multiple sample points — the 2026-08-16 case inflated ~15
+    consecutive sf1 rows ≈ 2 readings at 8-row spacing. A single spike
+    stays visible in the canary dict's mid_secs for eyeballing."""
+    ratio = mid_canary_drift(mids, floor)
+    if ratio is None:
+        return None, 0, False
+    n_over = sum(1 for m in mids if m / floor > MID_CANARY_DRIFT_MAX)
+    return ratio, n_over, n_over >= 2
+
+
 def substitute_clean_sections(
     payload: dict, record: dict | None
 ) -> tuple[dict, list[str]]:
@@ -368,12 +387,14 @@ def main() -> None:
     # within a few minutes of prior activity (the driver's normal
     # pattern) avoids it. Do NOT widen the bound for this: the same
     # low-drift signature is how a loaded start actually looks.
-    mid_drift_max = mid_canary_drift(mid_canaries, min(canary_start, canary_end))
+    mid_drift_max, mid_over, mid_flag = mid_canary_flag(
+        mid_canaries, min(canary_start, canary_end)
+    )
     contaminated = (
         drift > 1.3
         or drift < 0.55
         or (loadavg_start is not None and loadavg_start > 8)
-        or (mid_drift_max is not None and mid_drift_max > MID_CANARY_DRIFT_MAX)
+        or mid_flag
     )
     print(f"# canary q1 end: {canary_end:.3f}s (loadavg {loadavg_end}, "
           f"drift {drift}x, mid-drift max {mid_drift_max}x"
@@ -398,6 +419,7 @@ def main() -> None:
             "drift": drift,
             "mid_secs": mid_canaries,
             "mid_drift_max": mid_drift_max,
+            "mid_over_threshold": mid_over,
             "contaminated": contaminated,
             "loadavg_start": loadavg_start,
             "loadavg_end": loadavg_end,
@@ -817,14 +839,11 @@ def main() -> None:
 
         sf1_canary_end = min(timed_draws(canary_spec, sf1_dir, 3)[0])
         sf1_drift = round(sf1_canary_end / sf1_canary_start, 2)
-        sf1_mid_drift_max = mid_canary_drift(
+        sf1_mid_drift_max, sf1_mid_over, sf1_mid_flag = mid_canary_flag(
             sf1_mid_canaries, min(sf1_canary_start, sf1_canary_end)
         )
         sf1_contaminated = (
-            sf1_drift > 1.3
-            or sf1_drift < 0.55
-            or (sf1_mid_drift_max is not None
-                and sf1_mid_drift_max > MID_CANARY_DRIFT_MAX)
+            sf1_drift > 1.3 or sf1_drift < 0.55 or sf1_mid_flag
         )
         print(f"# canary q1@sf1 end: {sf1_canary_end:.3f}s (loadavg "
               f"{_loadavg()}, drift {sf1_drift}x, mid-drift max "
@@ -841,6 +860,7 @@ def main() -> None:
             "drift": sf1_drift,
             "mid_secs": sf1_mid_canaries,
             "mid_drift_max": sf1_mid_drift_max,
+            "mid_over_threshold": sf1_mid_over,
             "contaminated": sf1_contaminated,
         }
         payload["sf1_loadavg"] = sf1_loadavgs

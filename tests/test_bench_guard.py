@@ -197,6 +197,26 @@ def test_mid_canary_drift_rule():
     assert b.mid_canary_drift([0.3], None) is None
 
 
+def test_mid_canary_flag_needs_corroboration():
+    b = _bench()
+    # a real burst spans >= 2 sample points (the 2026-08-16 case hit
+    # ~15 consecutive sf1 rows = 2 readings at 8-row spacing) -> flag
+    ratio, n_over, flag = b.mid_canary_flag([0.28, 0.9, 0.8, 0.31], 0.30)
+    assert flag and n_over == 2 and ratio == 3.0
+    # a LONE spike surviving the settle-retry is post-heavy-row JVM
+    # digestion (observed 0.83s after dedup_clusters) -> recorded, not
+    # flagged — otherwise substitution would pin the committed record
+    # on every clean run with one digesting reading
+    ratio, n_over, flag = b.mid_canary_flag([0.28, 0.83, 0.31, 0.29], 0.30)
+    assert not flag and n_over == 1 and ratio > b.MID_CANARY_DRIFT_MAX
+    # clean run
+    ratio, n_over, flag = b.mid_canary_flag([0.27, 0.25], 0.30)
+    assert not flag and n_over == 0
+    # degenerate inputs never crash or flag
+    assert b.mid_canary_flag([], 0.30) == (None, 0, False)
+    assert b.mid_canary_flag([0.3], 0.0) == (None, 0, False)
+
+
 def test_mid_canary_threshold_has_margin():
     # 1.6x must sit between clean-run jitter (~1.0-1.3x worst observed
     # on this box's canary pairs) and the burst that matters (2-3x) —
