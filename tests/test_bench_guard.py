@@ -223,3 +223,21 @@ def test_mid_canary_threshold_has_margin():
     # a threshold drifting out of that band silently disables the rule
     b = _bench()
     assert 1.4 <= b.MID_CANARY_DRIFT_MAX <= 2.0
+
+
+def test_cold_start_rescue_rule():
+    b = _bench()
+    # today's observed false flag: idled box (loadavg 0.11 at launch),
+    # start canary cold -> drift 0.39, yet every mid reading quiet
+    assert b.start_cold_rescue(0.39, [0.29, 0.27, 0.28, 0.32, 0.28], 0, 1.8)
+    # a LOADED start keeps loading the interior: any spiked mid reading
+    # (n_over > 0) blocks the rescue
+    assert not b.start_cold_rescue(0.39, [0.9, 0.27, 0.28], 1, 1.8)
+    # high start loadavg is the hard flag — never rescued
+    assert not b.start_cold_rescue(0.39, [0.29, 0.27], 0, 9.5)
+    # no interior evidence -> the conservative bound stands
+    assert not b.start_cold_rescue(0.39, [], 0, 1.8)
+    # the rescue only covers the low side; a hot END is real
+    assert not b.start_cold_rescue(1.7, [0.29, 0.27], 0, 1.8)
+    # loadavg unreadable (non-Linux) -> interior evidence alone decides
+    assert b.start_cold_rescue(0.5, [0.29, 0.27], 0, None)
