@@ -241,3 +241,18 @@ def test_cold_start_rescue_rule():
     assert not b.start_cold_rescue(1.7, [0.29, 0.27], 0, 1.8)
     # loadavg unreadable (non-Linux) -> interior evidence alone decides
     assert b.start_cold_rescue(0.5, [0.29, 0.27], 0, None)
+
+
+def test_committed_record_is_canary_clean():
+    # the protocol says the committed BENCH_result.json only ever holds
+    # a clean run — enforce it in CI so a future snapshot can't repeat
+    # round 6's overwrite even if the routing guard is bypassed
+    import json
+
+    rec = json.load(open(os.path.join(_REPO, "BENCH_result.json")))
+    assert rec["canary"]["contaminated"] is False
+    sf1 = rec.get("sf1_canary")
+    if sf1 is not None:
+        assert sf1["contaminated"] is False
+    # provenance must point at a real commit so substitution can cite it
+    assert rec.get("commit")
