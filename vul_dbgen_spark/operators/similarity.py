@@ -44,14 +44,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_arrow(a: Column, b: Column) -> Column:
+def cosine_arrow(a: Column, b: Column, single_eval: bool = False) -> Column:
     """Arrow-batched cosine for bulk pair scoring (one einsum per batch
     instead of interpreted per-element folds — the LSH cost model is
     candidates × dim, so the re-rank must be vectorized). Numerically
     within 1 ulp of :func:`cosine`; safe against the oracle because the
     graded outputs round to 4 dp and no testdata value sits near a
     rounding boundary (and sign/threshold margins are ~1e-6 vs ~1e-15
-    summation noise)."""
+    summation noise).
+
+    ``single_eval=True`` marks the UDF non-deterministic so the
+    optimizer cannot duplicate it when a filter references the scored
+    column (guide §4.4 shape: filter-below-projection pushdown yields
+    TWO ArrowEvalPython nodes evaluating the same cosine — observed in
+    the round-8 plan audit of embedding_lsh_near_dup_pairs, where every
+    surviving candidate paid the Python matmul twice). The function is
+    genuinely deterministic; the flag only pins evaluation count. Use
+    it at call sites that filter on the result; leave it off where the
+    plan benefits from pushdown of other predicates."""
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -63,7 +73,8 @@ def cosine_arrow(a: Column, b: Column) -> Column:
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(num / den)
 
-    return _cos(a, b)
+    fn = _cos.asNondeterministic() if single_eval else _cos
+    return fn(a, b)
 
 
 def brute_force_topk(
@@ -630,13 +641,24 @@ def embedding_lsh_near_dup_pairs(
     near-dup deployment should use (n_bands=12, band_planes=12,
     threshold=0.9).
     """
+    from pyspark import StorageLevel
+
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # persist the band table: BOTH self-join sides consume it, and the
+    # planner broadcasts one side (band rows are tiny), so there is no
+    # shared exchange for ReusedExchange to dedup — without the persist
+    # the Arrow band-signature projection (the n×dim @ dim×32 matmul
+    # over every vector) ran TWICE, once per side (round-8 plan audit:
+    # two ArrowEvalPython _sigs nodes). One row per (vector, band) —
+    # bounded by n·n_bands id+string rows, never vector payloads.
+    # Released by the caller's session hygiene, as with the capped
+    # minhash band persist.
     bands = v.select(
         "id",
         F.explode(
             band_signatures(F.col("v"), dim, n_bands, band_planes, NEAR_DUP_SEED)
         ).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band")
@@ -647,7 +669,11 @@ def embedding_lsh_near_dup_pairs(
     return (
         cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb")))
+        # single_eval: the threshold filter below would otherwise be
+        # pushed under the projection and DUPLICATE the Arrow cosine —
+        # every surviving pair scored twice (guide §4.4; round-8 plan
+        # audit found the double ArrowEvalPython here)
+        .withColumn("cos", cosine_arrow(F.col("va"), F.col("vb"), single_eval=True))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
