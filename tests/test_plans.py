@@ -303,15 +303,20 @@ def test_triangle_plan_shape(spark):
     # exactly one BNLJ: the 1-row x 1-row stats combine (the wedge
     # bloom is auto-gated off below broadcast scale)
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
-    # round-6 A/B pin (VERDICT r5 directive #3): below the 20M-edge
-    # gate the closing semi-join must be a BROADCAST hash join on the
-    # packed u<<32|v key — measured at sf1 (12M edges, 411M oriented
-    # wedges, fresh JVMs): broadcast 20.6-21.9 s warm vs bloom+shuffle
-    # 35.7-55.1 s vs SMJ 210-232 s; cross-run spread 1.06x, within-run
-    # 1.18x with the pretouched fixed heap (session.py). The wedge
-    # stream must never reach an exchange.
-    closing = re.findall(r"BroadcastHashJoin \[__uv[^\]]*\].*LeftSemi", plan)
-    assert len(closing) == 1, f"closing join not broadcast-semi: {closing}"
+    # round-8 pin: below the 20M-edge gate the closing step is the
+    # adjacency-intersect form — the per-edge probe stream joins the
+    # BROADCAST out-neighbor-array table (array_intersect computes the
+    # per-edge triangle count), and no wedge enumeration exists, so the
+    # Θ(Σ out-deg²) stream never reaches an exchange OR a row
+    # materialization. Interleaved sf1 A/B vs the round-6 packed
+    # broadcast-semi wedge probe: 15.0-17.2 s vs 22.8-24.1 s, identical
+    # census. The wedge+bloom posture remains the past-gate plan
+    # (tests/test_graph.py pins its equality).
+    assert "array_intersect" in plan
+    closing = re.findall(r"BroadcastHashJoin \[__b[^\]]*\].*LeftOuter", plan)
+    assert len(closing) == 1, f"adjacency join not broadcast: {closing}"
+    # the below-gate plan must not enumerate wedges at all
+    assert "__uv" not in plan
 
 
 def test_bloom_prefilter_sits_above_fact_scan(spark):
