@@ -9455,21 +9455,22 @@ GRADED_WINDOW: list[str] = [
     "semdedup_routed_incremental",
     "semdedup_routed_incremental_bulk",
     "train_kmeans_lloyd",
-    "ann_ivf_kmeans_topk",
     "graph_triangle_stats",
-    "bloom_prefilter_join",
     # round-8 OPTIMIZATION plan-changed entries (policy: a changed
-    # operator's entries must be driver-graded). In place of five
+    # operator's entries must be driver-graded). In place of seven
     # family-rep anchors whose operators are UNCHANGED this round and
     # whose families hold green r7 driver rows + full local parity
     # (dedup_incremental, bm25_topk, stream_tumbling_counts,
-    # ts_gapfill_interp, incremental_agg_merge) — the 29-entry
-    # registry-closing rotation stays intact.
+    # ts_gapfill_interp, incremental_agg_merge, ann_ivf_kmeans_topk,
+    # bloom_prefilter_join) — the 29-entry registry-closing rotation
+    # stays intact.
     "graph_pagerank_parts",
     "graph_khop_reach",
     "graph_khop_reach_rcte",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
+    "train_logreg_hashed",
+    "score_auc_trained_eval",
     "bpe_compression_eval",
     "bpe_vocab_counts",
     "cluster_prototypes_topk",
@@ -9543,6 +9544,12 @@ PLAN_CHANGED_THIS_ROUND: list[str] = [
     # duplication)
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
+    # hashed-logreg trainer: the per-pass sigmoid fold moved from the
+    # interpreted JVM HOF to the Arrow reduceat kernel (_sigmoid_arrow,
+    # order-preserving — graded output verified byte-identical on every
+    # test SF); both entries over the trainer stay graded
+    "train_logreg_hashed",
+    "score_auc_trained_eval",
 ]
 
 
