@@ -48,7 +48,7 @@ def _inner_plans(spark, sf_dir, name) -> list[tuple[str, str]]:
 
         e = C._seq_edges(spark, sf_dir).filter(F.col("s") != F.col("d")).distinct()
         outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
-        ew = e.join(outdeg, "s").persist(StorageLevel.MEMORY_AND_DISK)
+        ew = e.join(outdeg, "s").repartition("d").persist(StorageLevel.MEMORY_AND_DISK)
         ew.count()
         nodes = (
             C.load(spark, sf_dir, "part")
@@ -61,14 +61,16 @@ def _inner_plans(spark, sf_dir, name) -> list[tuple[str, str]]:
         dang = ranks.filter(~F.col("has_out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
+        # round-8 broadcast posture: ranks broadcast into the d-partitioned
+        # edge cache, contribution table broadcast into the update join
         contrib = (
-            ew.join(ranks, ew["s"] == ranks["node"])
+            ew.join(F.broadcast(ranks), ew["s"] == ranks["node"])
             .select(F.col("d"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("contrib"))
         )
         rnd = (
-            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            nodes.join(F.broadcast(contrib), nodes["node"] == contrib["d"], "left")
             .join(F.broadcast(dang))
             .select(
                 "node",
@@ -106,10 +108,22 @@ def _inner_plans(spark, sf_dir, name) -> list[tuple[str, str]]:
             .groupBy("n2", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # round-8 packed-long argmax (HashAggregate instead of the
+        # struct-max SortAggregate)
+        INV = (1 << 31) - 1
         arg = (
             cnt.groupBy("n2")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select(F.col("n2").alias("node"), (-F.col("m.nl")).alias("new_label"))
+            .agg(
+                F.max(
+                    F.shiftleft(F.col("c"), 32).bitwiseOR(F.lit(INV) - F.col("label"))
+                ).alias("p")
+            )
+            .select(
+                F.col("n2").alias("node"),
+                (F.lit(INV) - F.col("p").bitwiseAND(F.lit((1 << 32) - 1))).alias(
+                    "new_label"
+                ),
+            )
         )
         rnd = labels.join(F.broadcast(arg), "node", "left").select(
             "node", F.coalesce("new_label", "label").alias("label")
