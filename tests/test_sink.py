@@ -248,3 +248,27 @@ def test_partitioned_ndjson_scale_sink(spark, tmp_path_factory, db_out):
         line for p in app_parts for line in open(p, encoding="utf-8").read().splitlines()
     )
     assert got_apps == sorted(files["apps.tb"].decode().splitlines())
+
+
+def test_update_db_unknown_bucket_raises(spark, tmp_path_factory):
+    """The bad-bucket guard rides the assembly iteration (round 8): an
+    os row whose namespace maps to no bucket must still raise before any
+    container file is written."""
+    from vul_dbgen_spark.schemas import OS_VULNS
+    from vul_dbgen_spark.sources.base import conform
+
+    os_out = conform(
+        spark.createDataFrame(
+            [("CVE-2020-0001", "unknownos:1")], "name string, namespace string"
+        ),
+        OS_VULNS,
+    )
+    from vul_dbgen_spark.sources.apps import load_all
+
+    app_out = load_all(spark, ROOT)
+    out_dir = str(tmp_path_factory.mktemp("memdb_badbucket"))
+    with pytest.raises(ValueError, match="No known namespace bucket for: unknownos:1"):
+        memdb.update_db(os_out, app_out, out_dir, version="0.0")
+    assert not [
+        f for f in os.listdir(out_dir)
+    ], "container files must not exist after a bad-bucket failure"

@@ -37,6 +37,7 @@ import json
 import os
 import struct
 import tarfile
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -325,25 +326,49 @@ def update_db(
     Returns the regular DB's ``Shas`` map. Rows stream to the driver via
     ``toLocalIterator`` (one partition at a time) — the single-file
     container format forces driver assembly, as in the reference.
+
+    Round 8: the bad-bucket guard rides the assembly iteration itself —
+    the old ``limit(1).collect()`` pre-check was a SECOND full action
+    over the os lineage (separate DataFrame actions share no shuffle
+    output, so the whole sources→enrich→upsert plan executed twice), and
+    every row passes through the iterator anyway, where a null bucket
+    raises the same error before any container file is written. The os
+    and app assemblies also run on two concurrent driver threads (guide
+    §2.6 — the sides are independent plans, so their jobs overlap and
+    the app side fills the os side's scheduling tail); each side writes
+    only its own buffers, in its own sorted order, so container bytes
+    are unchanged.
     """
     lines = os_vuln_lines(os_vulns)
-    bad = lines.filter(F.col("bucket").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(f"No known namespace bucket for: {bad[0]['namespace']}")
-
     index_bufs = [io.BytesIO() for _ in BUCKETS]
     full_bufs = [io.BytesIO() for _ in BUCKETS]
-    for row in (
-        lines.orderBy("namespace", "name")
-        .select("bucket", "index_line", "full_line")
-        .toLocalIterator()
-    ):
-        index_bufs[row["bucket"]].write(row["index_line"].encode() + b"\n")
-        full_bufs[row["bucket"]].write(row["full_line"].encode() + b"\n")
-
     app_buf = io.BytesIO()
-    for row in app_vuln_lines(app_vulns).orderBy("module_name", "vul_name").toLocalIterator():
-        app_buf.write(row["line"].encode() + b"\n")
+
+    def _drain_os() -> None:
+        for row in (
+            lines.orderBy("namespace", "name")
+            .select("bucket", "namespace", "index_line", "full_line")
+            .toLocalIterator()
+        ):
+            b = row["bucket"]
+            if b is None:
+                raise ValueError(
+                    f"No known namespace bucket for: {row['namespace']}"
+                )
+            index_bufs[b].write(row["index_line"].encode() + b"\n")
+            full_bufs[b].write(row["full_line"].encode() + b"\n")
+
+    def _drain_app() -> None:
+        for row in (
+            app_vuln_lines(app_vulns)
+            .orderBy("module_name", "vul_name")
+            .toLocalIterator()
+        ):
+            app_buf.write(row["line"].encode() + b"\n")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_drain_os), pool.submit(_drain_app)]:
+            fut.result()
 
     raw = dict(raw_files or {})
     raw.setdefault(RHEL_CPE_MAP_FILE, b"")  # empty-file backfill (memdb.go:300-313)
