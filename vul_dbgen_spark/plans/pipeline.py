@@ -18,8 +18,6 @@ shuffle only on their group keys; everything else is narrow.
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -66,19 +64,19 @@ def load_distro_vulns(
     if not names:
         raise ValueError("no distro sources selected")
 
-    # Plan construction only (no data moves): each source builder is a
-    # few hundred ms of py4j round-trips, and with ~12 of them the
-    # SEQUENTIAL build was most of the composed pipeline's driver-side
-    # floor. The builders are independent, so build them on a thread
-    # pool (guide §2.6 applied to the driver) and union in the original
-    # deterministic priority order — the resulting plan is identical.
-    def _build(prio_name: tuple[int, str]) -> DataFrame:
-        prio, name = prio_name
+    # Plan construction is ~10 s of the composed pipeline's floor, but
+    # thread-pooling the builders measured a WASH (round 8): a jstack of
+    # the pooled build shows every JVM pinned thread idle in socket
+    # reads waiting for Python — the cost is Python-side per-call work
+    # under the GIL (pyspark wrapper/protocol overhead), which threads
+    # cannot overlap. Sequential build kept deliberately; the fix that
+    # would matter is fewer py4j calls (SQL-string expression building),
+    # which is out of scope for an optimization round over
+    # semantics-locked parsers.
+    parts = []
+    for prio, name in enumerate(names):
         df = do_vulnerabilities_namespacing(DISTRO_SOURCES[name](spark, source_root))
-        return df.withColumn("source_priority", F.lit(prio))
-
-    with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
-        parts = list(pool.map(_build, enumerate(names)))
+        parts.append(df.withColumn("source_priority", F.lit(prio)))
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
@@ -92,18 +90,12 @@ def run(
     app_sources: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline → (os_vulns, app_vulns), enriched, gated, upserted."""
-    # The three input sides are independent plans; overlap their (driver
-    # -side) construction. Deterministic: results are consumed by name,
-    # and each side's internal order is unchanged.
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_nvd = pool.submit(META_SOURCES["nvd"], spark, source_root)
-        f_os = pool.submit(load_distro_vulns, spark, source_root, distro_sources)
-        f_apps = pool.submit(load_all_apps, spark, source_root, app_sources)
-        nvd_meta = f_nvd.result()
-        os_vulns = f_os.result()
-        apps = f_apps.result()
+    nvd_meta = META_SOURCES["nvd"](spark, source_root)
+
+    os_vulns = load_distro_vulns(spark, source_root, distro_sources)
     os_vulns = os_keyed_upsert(os_vulns)
 
+    apps = load_all_apps(spark, source_root, app_sources)
     apps = enrich.inject_nvd_whitelist_apps(apps, nvd_meta)
     apps = enrich.correct_app_affected_version(apps, nvd_meta)
 

@@ -17,8 +17,6 @@ the deterministic form of the reference's overwrite semantics.
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -49,19 +47,10 @@ def load_all(spark: SparkSession, source_root: str, sources: list[str] | None = 
     names = [s for s in APP_SOURCE_ORDER if sources is None or s in sources]
     if not names:
         raise ValueError("no app sources selected")
-
-    # Plan construction only — the source builders are independent py4j
-    # round-trip chains, so build them concurrently and union in the
-    # canonical priority order (same plan, same results; see
-    # plans/pipeline.load_distro_vulns for the rationale).
-    def _build(prio_name: tuple[int, str]) -> DataFrame:
-        prio, name = prio_name
-        return APP_SOURCES[name](spark, source_root).withColumn(
-            "source_priority", F.lit(prio)
-        )
-
-    with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
-        parts = list(pool.map(_build, enumerate(names)))
+    parts = []
+    for prio, name in enumerate(names):
+        df = APP_SOURCES[name](spark, source_root).withColumn("source_priority", F.lit(prio))
+        parts.append(df)
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
