@@ -77,6 +77,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark 4's DataFrame error-context capture decorates EVERY
+        # PySpark DataFrame/Column call with getActiveSession + a
+        # conf.get RPC + a JVM origin set/clear — 3-4 extra py4j round
+        # trips per call, all driver-side and GIL-held. Measured on the
+        # composed pipeline's plan construction (the heaviest build in
+        # the repo, ~22 sources): 11-18.6 s with the default vs
+        # 6.4-7.8 s disabled (interleaved fresh-JVM reps). The only
+        # loss is call-site enrichment in error messages; results and
+        # plans are unchanged. Scale-independent: this is per-API-call
+        # driver overhead, the same on a laptop or a 100-node cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # 8g FIXED (Xms=Xmx) + AlwaysPreTouch — round-6 root-cause of the
         # sf1 wobble that rounds 4-5 chased with heap-size A/Bs (64g →
         # 24g): the G1 heap was COMMITTING/UNCOMMITTING pages against a
