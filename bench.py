@@ -165,6 +165,23 @@ def substitute_clean_sections(
     subbed: list[str] = []
     if not record:
         return emit, subbed
+    # Config-keyed (round-8 VERDICT directive): a substituted section
+    # must come from a record measured under the SAME run configuration.
+    # Round 8's 8-CPU driver run self-flagged its sf0.1 section and the
+    # guard swapped in the committed 32-CPU record wholesale, so every
+    # PERF scaling ratio read exactly 1.0 and the driver concluded the
+    # bench ignored $SPARK_GRAFT_CPUS. A record with no `cpus` stamp
+    # (pre-round-9) cannot prove config equality — refuse.
+    rec_cfg = (record.get("cpus"), record.get("sf"))
+    fresh_cfg = (payload.get("cpus"), payload.get("sf"))
+    if rec_cfg[0] is None or rec_cfg != fresh_cfg:
+        print(
+            f"# ** substitution refused: record config {rec_cfg} != fresh "
+            f"config {fresh_cfg} (cpus, sf) — a section measured under a "
+            f"different configuration must not impersonate this run's",
+            file=sys.stderr,
+        )
+        return emit, subbed
     prov = record.get("commit")
 
     def swap(keys: tuple[str, ...], fresh_canary: dict, tag: str) -> None:
@@ -226,6 +243,11 @@ def _loadavg() -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the core count this run will actually use (session.py builds
+    # local[$SPARK_GRAFT_CPUS]) — stamped into the payload so the
+    # substitution guard can key on run configuration and the driver
+    # can detect which configuration produced any section it reads
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
     from pyspark.sql import functions as F
 
@@ -452,6 +474,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
         "draws": all_draws,
         "loadavg": loadavgs,
         "canary": {
@@ -1091,6 +1114,7 @@ def main() -> None:
             sorted(emit["queries"].items(), key=lambda kv: -kv[1])[:5]
         ),
         "n_queries": len(emit["queries"]),
+        "cpus": emit.get("cpus"),
         "canary_drift": emit["canary"]["drift"],
         "contaminated": emit["canary"].get("contaminated", False),
         # basename, not a hardcoded name: a contaminated run's payload

@@ -89,6 +89,7 @@ def _payload(main_bad: bool, sf1_bad: bool) -> dict:
         "value": 99.0,
         "unit": "sec",
         "sf": 0.1,
+        "cpus": 32,
         "queries": {"q1_pricing_summary": 9.0},
         "draws": {"q1_pricing_summary": [9.0]},
         "loadavg": {"q1_pricing_summary": 22.0},
@@ -106,6 +107,8 @@ def _payload(main_bad: bool, sf1_bad: bool) -> dict:
 
 _RECORD = {
     "value": 50.0,
+    "sf": 0.1,
+    "cpus": 32,
     "queries": {"q1_pricing_summary": 5.0},
     "draws": {"q1_pricing_summary": [5.0]},
     "loadavg": {"q1_pricing_summary": 0.5},
@@ -166,6 +169,25 @@ def test_no_substitution_without_a_clean_record():
     # legacy record missing the flag entirely — treated as not-clean
     legacy = {k: v for k, v in _RECORD.items() if k != "sf1_canary"}
     emit, subbed = b.substitute_clean_sections(fresh, legacy)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+
+
+def test_substitution_refuses_cross_config_record():
+    # round-8 VERDICT: the 8-CPU driver run's flagged sf0.1 section was
+    # swapped for the committed 32-CPU record, corrupting every scaling
+    # ratio to exactly 1.0 — substitution must be config-keyed
+    b = _bench()
+    fresh = dict(_payload(False, True), cpus=8)
+    emit, subbed = b.substitute_clean_sections(fresh, _RECORD)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+    # different SF likewise refused
+    fresh = dict(_payload(False, True), sf=0.01)
+    emit, subbed = b.substitute_clean_sections(fresh, _RECORD)
+    assert subbed == [] and emit["sf1_total"] == 30.0
+    # a record with no cpus stamp (pre-round-9) cannot prove config
+    # equality — refused even when the fresh run is at the default
+    legacy = {k: v for k, v in _RECORD.items() if k != "cpus"}
+    emit, subbed = b.substitute_clean_sections(_payload(False, True), legacy)
     assert subbed == [] and emit["sf1_total"] == 30.0
 
 

@@ -418,3 +418,47 @@ def test_wedge_bloom_sizing_invariant():
     # broadcast semi-join instead of activating the bloom at all — the
     # auto-gate decision is n_edges > WEDGE_BLOOM_EDGE_GATE, pinned by
     # the plan snapshot in tests/test_plans.py
+
+
+def test_edge_helper_consumers_are_pinned():
+    """_cooc_edges/_seq_edges return NON-DEDUPED pair streams (round 8
+    dropped their trailing .distinct() because every consumer dedups
+    internally) while their DuckDB oracles keep SELECT DISTINCT — so
+    correctness depends on every FUTURE consumer remembering to dedup.
+    Pin the exact consumer set (round-8 VERDICT directive #7): a new
+    call site must either appear here WITH a verified internal dedup, or
+    add .distinct() at the call site like graph_khop_reach_rcte does."""
+    import ast
+    import inspect
+
+    from vul_dbgen_spark.queries import catalog
+
+    tree = ast.parse(inspect.getsource(catalog))
+    consumers: set[tuple[str, str]] = set()
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for node in ast.walk(fn):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id in ("_cooc_edges", "_seq_edges")
+                and fn.name not in ("_cooc_edges", "_seq_edges")
+            ):
+                consumers.add((node.func.id, fn.name))
+    assert consumers == {
+        # triangle_stats: canon .distinct() (operators/graph.py)
+        ("_cooc_edges", "graph_triangle_stats"),
+        # label_propagation: _symmetrize ends in .distinct()
+        ("_cooc_edges", "graph_label_propagation"),
+        # pagerank: e.distinct() on the canonicalized frame
+        ("_seq_edges", "graph_pagerank_parts"),
+        # khop_levels: e .distinct() before the checkpoint
+        ("_seq_edges", "graph_khop_reach"),
+        # rcte twin: call-site .distinct() (load-bearing there)
+        ("_seq_edges", "graph_khop_reach_rcte"),
+    }, (
+        "edge-helper consumer set changed: verify the new consumer "
+        "dedups the non-deduped pair stream (or add .distinct() at the "
+        "call site) before updating this pin"
+    )

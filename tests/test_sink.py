@@ -250,6 +250,30 @@ def test_partitioned_ndjson_scale_sink(spark, tmp_path_factory, db_out):
     assert got_apps == sorted(files["apps.tb"].decode().splitlines())
 
 
+def test_partitioned_ndjson_unknown_bucket_raises(spark, tmp_path_factory):
+    """write_partitioned_ndjson's bad-bucket guard rides the index
+    write itself (round-9: the separate limit(1).collect() pre-check was
+    a full redundant pass over the os lineage) — the documented
+    ValueError must still surface, before the full/apps writes run."""
+    from vul_dbgen_spark.schemas import OS_VULNS
+    from vul_dbgen_spark.sources.apps import load_all
+    from vul_dbgen_spark.sources.base import conform
+
+    os_out = conform(
+        spark.createDataFrame(
+            [("CVE-2020-0001", "unknownos:1")], "name string, namespace string"
+        ),
+        OS_VULNS,
+    )
+    app_out = load_all(spark, ROOT)
+    out_dir = str(tmp_path_factory.mktemp("ndjson_badbucket"))
+    with pytest.raises(ValueError, match="No known namespace bucket for: unknownos:1"):
+        memdb.write_partitioned_ndjson(os_out, app_out, out_dir)
+    assert not os.path.isdir(os.path.join(out_dir, "full")), (
+        "the full/apps writes must not run after a bad-bucket failure"
+    )
+
+
 def test_update_db_unknown_bucket_raises(spark, tmp_path_factory):
     """The bad-bucket guard rides the assembly iteration (round 8): an
     os row whose namespace maps to no bucket must still raise before any

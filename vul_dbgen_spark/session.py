@@ -87,7 +87,15 @@ def get_spark(
         # loss is call-site enrichment in error messages; results and
         # plans are unchanged. Scale-independent: this is per-API-call
         # driver overhead, the same on a laptop or a 100-node cluster.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # SPARK_GRAFT_DF_DEBUG=1 restores the default for a debugging
+        # session (round-8 ADVICE). Note pyspark caches the flag
+        # process-wide on FIRST read (pyspark/errors/utils.py,
+        # is_debugging_enabled), so the choice is per-process: set the
+        # env var before the first get_spark call, not between sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DF_DEBUG") == "1" else "false",
+        )
         # 8g FIXED (Xms=Xmx) + AlwaysPreTouch — round-6 root-cause of the
         # sf1 wobble that rounds 4-5 chased with heap-size A/Bs (64g →
         # 24g): the G1 heap was COMMITTING/UNCOMMITTING pages against a

@@ -37,7 +37,9 @@ import json
 import os
 import struct
 import tarfile
-from concurrent.futures import ThreadPoolExecutor
+import threading
+from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from datetime import datetime, timezone
 
 import pandas as pd
@@ -344,30 +346,58 @@ def update_db(
     full_bufs = [io.BytesIO() for _ in BUCKETS]
     app_buf = io.BytesIO()
 
+    # fail-fast handshake between the two drains (round-8 ADVICE): when
+    # one side raises, ThreadPoolExecutor.__exit__ (shutdown wait=True)
+    # would otherwise block until the OTHER side's full Spark pass
+    # completes before the error surfaces. A shared Event set on failure
+    # breaks the surviving drain out of its row loop promptly (closing
+    # the loop also releases its toLocalIterator), so the error
+    # propagates after at most one in-flight partition.
+    failed = threading.Event()
+
     def _drain_os() -> None:
-        for row in (
-            lines.orderBy("namespace", "name")
-            .select("bucket", "namespace", "index_line", "full_line")
-            .toLocalIterator()
-        ):
-            b = row["bucket"]
-            if b is None:
-                raise ValueError(
-                    f"No known namespace bucket for: {row['namespace']}"
-                )
-            index_bufs[b].write(row["index_line"].encode() + b"\n")
-            full_bufs[b].write(row["full_line"].encode() + b"\n")
+        try:
+            for row in (
+                lines.orderBy("namespace", "name")
+                .select("bucket", "namespace", "index_line", "full_line")
+                .toLocalIterator()
+            ):
+                if failed.is_set():
+                    return
+                b = row["bucket"]
+                if b is None:
+                    raise ValueError(
+                        f"No known namespace bucket for: {row['namespace']}"
+                    )
+                index_bufs[b].write(row["index_line"].encode() + b"\n")
+                full_bufs[b].write(row["full_line"].encode() + b"\n")
+        except BaseException:
+            failed.set()
+            raise
 
     def _drain_app() -> None:
-        for row in (
-            app_vuln_lines(app_vulns)
-            .orderBy("module_name", "vul_name")
-            .toLocalIterator()
-        ):
-            app_buf.write(row["line"].encode() + b"\n")
+        try:
+            for row in (
+                app_vuln_lines(app_vulns)
+                .orderBy("module_name", "vul_name")
+                .toLocalIterator()
+            ):
+                if failed.is_set():
+                    return
+                app_buf.write(row["line"].encode() + b"\n")
+        except BaseException:
+            failed.set()
+            raise
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        for fut in [pool.submit(_drain_os), pool.submit(_drain_app)]:
+        futs = [pool.submit(_drain_os), pool.submit(_drain_app)]
+        done, _pending = futures_wait(futs, return_when=FIRST_EXCEPTION)
+        # surface the first failure immediately (the Event has already
+        # told the survivor to stop); falls through to result() on both
+        # when neither raised
+        for fut in done:
+            fut.result()
+        for fut in futs:
             fut.result()
 
     raw = dict(raw_files or {})
@@ -431,18 +461,34 @@ def write_partitioned_ndjson(os_vulns: DataFrame, app_vulns: DataFrame, out_dir:
     their partitions directly — the driver never sees a row.
     """
     lines = os_vuln_lines(os_vulns)
-    bad = lines.filter(F.col("bucket").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(f"No known namespace bucket for: {bad[0]['namespace']}")
+    # bad-bucket guard folded into the FIRST write (round-8 ADVICE —
+    # same fix as update_db's iterator guard): the old separate
+    # limit(1).collect() pre-check was a full redundant execution of
+    # the sources→enrich→upsert lineage before the real pass. A null
+    # bucket now raises from inside the index write's row evaluation,
+    # aborting the job before the full/apps writes start; the Spark
+    # exception is re-surfaced as the documented ValueError below.
+    _GUARD_MSG = "No known namespace bucket for: "
+    guarded_index = F.when(
+        F.col("bucket").isNull(),
+        F.raise_error(F.concat(F.lit(_GUARD_MSG), F.col("namespace"))),
+    ).otherwise(F.col("index_line"))
     lines = lines.repartitionByRange("bucket", "namespace", "name").sortWithinPartitions(
         "bucket", "namespace", "name"
     )
-    (
-        lines.select("bucket", F.col("index_line").alias("value"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .text(os.path.join(out_dir, "index"))
-    )
+    try:
+        (
+            lines.select("bucket", guarded_index.alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .text(os.path.join(out_dir, "index"))
+        )
+    except Exception as exc:  # noqa: BLE001 - unwrap only the guard's raise
+        msg = str(exc)
+        if _GUARD_MSG in msg:
+            detail = msg[msg.index(_GUARD_MSG):].splitlines()[0].rstrip("'\"")
+            raise ValueError(detail) from None
+        raise
     (
         lines.select("bucket", F.col("full_line").alias("value"))
         .write.mode("overwrite")
