@@ -462,3 +462,38 @@ def test_edge_helper_consumers_are_pinned():
         "dedups the non-deduped pair stream (or add .distinct() at the "
         "call site) before updating this pin"
     )
+
+
+def test_cc_label_broadcast_postures_identical(spark):
+    """Round 9: the label loop's broadcast-hook posture (v-partitioned
+    edges + broadcast neighbor-min/jump) and the past-gate union form
+    must produce identical assignments — on a shape that mixes chains
+    (jump-dependent), cliques, isolated vertices, and a vertices=None
+    derivation."""
+    edges = (
+        [(i, i + 1) for i in range(1, 14)]          # 14-node chain
+        + [(100, 101), (101, 102), (102, 100)]       # triangle
+        + [(200, 201)]
+    )
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    v = spark.createDataFrame(
+        [(x,) for x in range(1, 15)]
+        + [(x,) for x in (100, 101, 102, 200, 201, 999)],  # 999 isolated
+        "id: long",
+    )
+    a = connected_components(
+        e, "src", "dst", vertices=v, id_col="id", algorithm="label",
+        broadcast_labels=True,
+    ).collect()
+    b = connected_components(
+        e, "src", "dst", vertices=v, id_col="id", algorithm="label",
+        broadcast_labels=False,
+    ).collect()
+    got_a = {r["node"]: r["component"] for r in a}
+    got_b = {r["node"]: r["component"] for r in b}
+    assert got_a == got_b
+    assert got_a[14] == 1 and got_a[102] == 100 and got_a[999] == 999
+    # vertices=None (auto resolves to the legacy shape) still agrees
+    c = connected_components(e, "src", "dst", algorithm="label").collect()
+    got_c = {r["node"]: r["component"] for r in c}
+    assert all(got_a[k] == v2 for k, v2 in got_c.items())

@@ -69,6 +69,22 @@ WEDGE_BLOOM_MAX_BITS = 1 << 30  # 128 MiB packed — heavy but legal broadcast
 # fallback's exact equality is pinned in tests/test_graph.py.
 LPA_BROADCAST_NODE_GATE = 10_000_000
 
+# The same accounting generalized (round 9): a loop that forces K
+# node-scale broadcasts per round gets gate = BUDGET / K, so the live
+# hashed-relation bytes per round stay constant regardless of how many
+# relations the posture pins. LPA's 2-relation loop at 10M nodes is the
+# calibrated point (≈0.5-0.65 GB hashed per relation, ~1-1.3 GB live
+# per round, a few GB worst-case under lazy ContextCleaner release,
+# against the session's fixed 8 GB heap) ⇒ BUDGET = 2 × 10M.
+BROADCAST_NODE_ROUND_BUDGET = 2 * LPA_BROADCAST_NODE_GATE
+
+
+def broadcast_node_gate(relations_per_round: int) -> int:
+    """Max node count at which a loop forcing ``relations_per_round``
+    node-scale broadcast relations per round stays inside the calibrated
+    memory budget (see BROADCAST_NODE_ROUND_BUDGET)."""
+    return BROADCAST_NODE_ROUND_BUDGET // max(relations_per_round, 1)
+
 
 def wedge_bloom_bits(n_edges: int) -> int:
     """Bloom size in bits (power of two) for the census's closing-edge
@@ -173,6 +189,8 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 30,
     algorithm: str = "star",
+    broadcast_labels: bool | None = None,
+    vertices_are_superset: bool = False,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id reachable from it.
 
@@ -180,22 +198,38 @@ def connected_components(
     orientation). ``vertices`` optionally supplies the full vertex set so
     isolated nodes appear as their own singleton components (a dedup
     pipeline wants every document labeled, not just the ones with a
-    near-dup candidate).
+    near-dup candidate). When provided it MUST be a superset of the
+    edge endpoints — for ``algorithm="label"`` a node that appears in
+    edges but not in ``vertices`` has no label row, so connectivity
+    THROUGH it is undefined (the two label postures would even disagree
+    on it); every caller in the catalog derives pairs FROM the vertex
+    dimension, so the superset property holds by construction there.
+    ``vertices_are_superset=True`` additionally attests the frame is
+    duplicate-free (a dimension primary key), waiving the defensive
+    distinct.
 
     Returns (node, component) — component = min id in the node's
     connected component. Deterministic regardless of partitioning,
     iteration count, or ``algorithm``, hence exactly oracle-checkable.
+
+    ``broadcast_labels`` (label algorithm only) gates the round-9
+    broadcast-hook posture; ``None`` auto-gates on the node count when
+    the caller supplies ``vertices`` (the count rides the init
+    checkpoint's ``observe`` — no extra job). See the loop comment.
     """
-    sym = _symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    sym_base = _symmetrize(edges, src, dst)
 
     if algorithm == "star":
+        sym = sym_base.persist(StorageLevel.MEMORY_AND_DISK)
         stars, _ = _star_contraction(sym, max_iter)
         assigned = stars.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
         # star centers + isolated nodes label themselves
         if vertices is not None:
-            allv = vertices.select(F.col(id_col).alias("node")).distinct()
+            allv = vertices.select(F.col(id_col).alias("node"))
+            if not vertices_are_superset:
+                allv = allv.distinct()
         else:
             allv = sym.select(F.col("u").alias("node")).distinct()
         lbl = allv.join(assigned, "node", "left").select(
@@ -207,11 +241,70 @@ def connected_components(
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
 
+    from pyspark.sql import Observation
+
+    # Round-9 broadcast-hook posture (the LPA pattern applied to the
+    # hook+jump loop): while the label frame is broadcastable, the
+    # symmetrized edge list is cached partitioned by DESTINATION ``v``
+    # so the neighbor-min aggregate inherits HashPartitioning(v) (zero
+    # exchange over the 2E-row joined stream), and the hook's
+    # keep-current rule becomes a coalesce-least LEFT JOIN of the label
+    # frame against the broadcast O(nodes) neighbor-min table — the
+    # union form's full (N+E)-row exchange per round disappears. The
+    # jump join broadcasts the O(nodes) label map. Three forced
+    # node-scale relations per round ⇒ gate = broadcast_node_gate(3)
+    # (~6.7M nodes under the calibrated budget). Interleaved fresh-cache
+    # A/B on dedup_clusters' LSH graph (3 reps each): sf1 6.76-7.15 s vs
+    # 8.06-8.49 s for the union form (50→44 jobs), sf0.1 2.44-2.59 vs
+    # 2.37-3.12 s — identical label sums at both SFs (the output is
+    # algorithm-independent, so equality is exact, not approximate).
+    # Auto-gating needs the node count, which is only free when the
+    # caller supplies ``vertices`` (counted via observe on the init
+    # checkpoint, before sym materializes — the posture decides sym's
+    # cached partitioning); with derived vertices the edge set would
+    # have to materialize first, so auto resolves to the legacy shape
+    # there and callers who know their cardinality pin the posture.
     if vertices is not None:
-        lbl = vertices.select(F.col(id_col).alias("node")).distinct()
+        # ``vertices_are_superset``: caller attests the frame is
+        # duplicate-free (dimension PK), so the defensive distinct —
+        # one exchange over the vertex set per query — is waived; note
+        # the label path ALWAYS requires vertices ⊇ edge endpoints
+        # (it never unions endpoints in), so the flag here only adds
+        # the uniqueness attestation.
+        allv = vertices.select(F.col(id_col).alias("node"))
+        if not vertices_are_superset:
+            allv = allv.distinct()
     else:
-        lbl = sym.select(F.col("u").alias("node")).distinct()
-    lbl = lbl.select("node", F.col("node").alias("component")).localCheckpoint()
+        allv = None
+
+    if broadcast_labels is None:
+        if allv is not None:
+            obs0 = Observation()
+            lbl = (
+                allv.select("node", F.col("node").alias("component"))
+                .observe(obs0, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            bcast = int(obs0.get["n"]) <= broadcast_node_gate(3)
+        else:
+            bcast = False
+            lbl = None
+    else:
+        bcast = broadcast_labels
+        lbl = None
+
+    if bcast:
+        sym = sym_base.repartition("v").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sym = sym_base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if lbl is None:
+        base = allv if allv is not None else (
+            sym.select(F.col("u").alias("node")).distinct()
+        )
+        lbl = base.select(
+            "node", F.col("node").alias("component")
+        ).localCheckpoint()
 
     # convergence probe. For NUMERIC node ids: labels are MONOTONE
     # non-increasing (each round takes min(old, offers)), so Σ labels
@@ -256,39 +349,68 @@ def connected_components(
     # converged" still holds. The probe itself rides an ``observe`` on
     # the checkpointed frame, firing WITH the checkpoint job instead
     # of as a second scheduled action per round.
-    # sym stays persisted WITHOUT an upfront repartition("u"): the
-    # per-round probe side (lbl) is localCheckpoint'd so AQE sees its
-    # true size and broadcasts it at bench scale — the khop counter-
-    # case from round 5, where an upfront repartition of the big side
-    # is pure overhead (measured there: 8.5 → 10.6 s, reverted). At
-    # true 100 TB scale lbl outgrows the broadcast threshold and the
-    # exchange lands on the SMALLER label frame either way; the jump
-    # join's operand is |nodes| rows against the round's labels —
-    # strictly smaller than the E-row hops it eliminates.
-    from pyspark.sql import Observation
-
+    # In the LEGACY posture sym stays persisted WITHOUT an upfront
+    # repartition("u"): the per-round probe side (lbl) is
+    # localCheckpoint'd so AQE sees its true size and broadcasts it at
+    # bench scale — the khop counter-case from round 5, where an
+    # upfront repartition of the big side is pure overhead (measured
+    # there: 8.5 → 10.6 s, reverted). At true 100 TB scale lbl outgrows
+    # the broadcast threshold and the exchange lands on the SMALLER
+    # label frame either way; the jump join's operand is |nodes| rows
+    # against the round's labels — strictly smaller than the E-row hops
+    # it eliminates. (In the broadcast posture the v-repartition IS the
+    # win: it feeds the zero-exchange neighbor-min aggregate — see the
+    # posture comment above the gate.)
     prev_sum = None
     for i in range(max_iter):
-        # hook: neighbor messages — component[u] offered to v per edge
-        msgs = sym.join(lbl, sym["u"] == lbl["node"]).select(
-            F.col("v").alias("node"), F.col("component")
-        )
-        hooked = (
-            lbl.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        # jump: re-resolve each hooked label through the previous
-        # round's table (left join: a label value is always a node
-        # that has a row, but coalesce keeps the hook result if a
-        # non-superset vertex set ever breaks that)
+        # jump table: the PREVIOUS round's (node → label) map
         jump = lbl.select(
             F.col("node").alias("component"),
             F.col("component").alias("jumped"),
         )
-        step = hooked.join(jump, "component", "left").select(
-            "node", F.coalesce("jumped", F.col("component")).alias("component")
-        )
+        if bcast:
+            # hook, broadcast posture: neighbor-min aggregate inherits
+            # HashPartitioning(v) from the v-partitioned edge cache
+            # (zero exchange); keep-current rides a coalesce-least LEFT
+            # JOIN against the broadcast O(nodes) neighbor-min table —
+            # exactly min(own label ∪ neighbor labels), the union
+            # form's hook function
+            nbr = (
+                sym.join(F.broadcast(lbl), sym["u"] == lbl["node"])
+                .select(F.col("v").alias("node"), F.col("component"))
+                .groupBy("node")
+                .agg(F.min("component").alias("__nbr"))
+            )
+            hooked = lbl.join(F.broadcast(nbr), "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__nbr", F.col("component")),
+                ).alias("component"),
+            )
+            step = hooked.join(F.broadcast(jump), "component", "left").select(
+                "node",
+                F.coalesce("jumped", F.col("component")).alias("component"),
+            )
+        else:
+            # hook: neighbor messages — component[u] offered to v per
+            # edge, unioned with the current labels (keep-current)
+            msgs = sym.join(lbl, sym["u"] == lbl["node"]).select(
+                F.col("v").alias("node"), F.col("component")
+            )
+            hooked = (
+                lbl.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            # jump: re-resolve each hooked label through the previous
+            # round's table (left join: a label value is always a node
+            # that has a row, but coalesce keeps the hook result if a
+            # non-superset vertex set ever breaks that)
+            step = hooked.join(jump, "component", "left").select(
+                "node",
+                F.coalesce("jumped", F.col("component")).alias("component"),
+            )
         if numeric_ids:
             obs = Observation()
             new_lbl = step.observe(
@@ -659,13 +781,15 @@ def pagerank(
     - each round is one shuffle: contributions grouped by dst with a
       map-side partial sum (doubles; order differences are ~1 ulp/round
       and the published result is rounded far coarser);
-    - the dangling-node mass is a 1-row IN-PLAN aggregate cross-joined
-      into the rank update (the allowlisted broadcast-scalar shape) —
-      never a driver collect, so each round costs exactly ONE job (the
-      eager ``localCheckpoint``), half the original collect+checkpoint
-      design. A round must materialize: its successor references it
-      from three subplans (dangling agg, contribution join, node join),
-      and a lazy chain would re-derive it per reference — a 3^k blowup;
+    - the dangling-node mass rides an ``observe`` on each round's
+      checkpoint (round 9): the checkpoint job computes the 1-number
+      aggregate as a side observation and the next round reads it as a
+      plan literal — no per-round dang subplan, no forced 1-row
+      broadcast, no driver collect beyond the observation scalar (the
+      same bounded-scalar contract as the CC loop's Σ-probe). A round
+      must materialize: its successor references it from two subplans
+      (contribution join, observation), and a lazy chain would
+      re-derive it per reference;
     - dangling NODES are static, so the rank table carries a
       ``has_out`` flag from round 0 and the per-round mass is a filter +
       1-row sum over the previous checkpoint — no join in the loop for
@@ -686,12 +810,12 @@ def pagerank(
     aggregate re-exchanged on d (every side bounded). Interleaved A/B
     at sf0.1 (3 reps, same harness): broadcast posture + lazy round
     checkpoints 3.4-4.3 s vs 4.0-6.2 s baseline, best-of 3.42 vs 3.98.
-    Round checkpoints are LAZY (eager=False) except the final round:
-    with AQE each round's exchanges still materialize at RDD
-    translation, but the per-round result-stage job is deferred into
-    the single final materialization — 5 scheduled checkpoint jobs
-    collapse into 1 (the final eager checkpoint, which must run before
-    the edge/node caches are released below). Float note: the d-
+    Round 9 replaced the lazy interior checkpoints with eager ones
+    carrying the dangling-mass observation (see the loop comment):
+    lazy rounds still materialized their exchanges at RDD translation,
+    so the deferral saved only the result-stage jobs while the dang
+    subplan cost a broadcast build per round — observed 42 → 36
+    scheduled jobs and 5.2-9.2 → 4.3-5.9 s interleaved. Float note: the d-
     partitioned posture changes per-dst partial-sum accumulation order;
     contribution sums are double adds whose order was already
     partitioning-dependent (run-to-run nondeterministic), and the
@@ -768,13 +892,42 @@ def pagerank(
         ew.unpersist()
         return base.select("node", F.lit(0.0).alias("rank")).limit(0)
 
-    ranks = nodes.select(
-        "node", "has_out", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
-    for i in range(iterations):
-        dang = ranks.filter(~F.col("has_out")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+    # Round 9: the dangling mass rides an ``observe`` on each round's
+    # checkpoint instead of a per-round in-plan 1-row aggregate +
+    # forced broadcast. The observation is computed BY the checkpoint
+    # job (no extra action, no dang broadcast build), and the next
+    # round reads it as a plan literal — per round that deletes one
+    # scheduled broadcast-exchange job and the dang subplan. The
+    # interior checkpoints are eager again (an observation only
+    # resolves when its frame materializes); measured interleaved at
+    # sf0.1 (3 reps): 42 → 36 scheduled jobs, wall 5.19-9.24 →
+    # 4.34-5.90 s vs the round-8 lazy-interior shape, Σ rank identical.
+    # Float note: the observed sum and the old in-plan agg are both
+    # partition-order-dependent partial double sums (same drift class,
+    # absorbed by the documented 6-significant-digit grading
+    # normalization); the literal's divide-by-n happens in the plan,
+    # mirroring the old ``__dang / n`` expression.
+    from pyspark.sql import Observation
+
+    def _obs_dang(df: DataFrame) -> tuple[DataFrame, Observation]:
+        obs = Observation()
+        return (
+            df.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(~F.col("has_out"), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dang"),
+            ),
+            obs,
         )
+
+    init, obs0 = _obs_dang(
+        nodes.select("node", "has_out", F.lit(1.0 / n).alias("rank"))
+    )
+    ranks = init.localCheckpoint()
+    dang_val = float(obs0.get["dang"])
+    for i in range(iterations):
         contrib = (
             ew.join(
                 F.broadcast(ranks) if bcast else ranks,
@@ -784,13 +937,12 @@ def pagerank(
             .groupBy("d")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
+        upd = (
             nodes.join(
                 F.broadcast(contrib) if bcast else contrib,
                 nodes["node"] == contrib["d"],
                 "left",
             )
-            .join(F.broadcast(dang))
             .select(
                 "node",
                 "has_out",
@@ -799,17 +951,17 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("__dang") / n
+                        + F.lit(dang_val) / n
                     )
                 ).alias("rank"),
             )
-            # lazy checkpoints for the interior rounds (the exchanges
-            # still materialize at RDD translation under AQE; only the
-            # per-round result-stage job is deferred); the FINAL round
-            # checkpoints eagerly so the whole chain is materialized
-            # before the edge/node caches are released below
-            .localCheckpoint(eager=(i == iterations - 1))
         )
+        if i == iterations - 1:
+            ranks = upd.localCheckpoint()
+        else:
+            upd, obs = _obs_dang(upd)
+            ranks = upd.localCheckpoint()
+            dang_val = float(obs.get["dang"])
     nodes.unpersist()
     ew.unpersist()
     return ranks.select("node", "rank")
@@ -823,6 +975,7 @@ def label_propagation(
     id_col: str = "id",
     iterations: int = 3,
     broadcast_labels: bool | None = None,
+    vertices_are_superset: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007, in its deterministic synchronous form).
@@ -900,15 +1053,25 @@ def label_propagation(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
-    endpoints = sym.select(F.col("u").alias("node")).distinct()
-    if vertices is not None:
+    if vertices is not None and vertices_are_superset:
+        # caller attests the vertex frame contains every edge endpoint
+        # AND is duplicate-free (e.g. the dimension the edges were
+        # derived from, FK-clean — the same waiver pagerank's
+        # ``vertices_are_superset`` grants): the defensive
+        # endpoints-distinct + union + outer distinct — a full extra
+        # pass over the 2E-row symmetrized edge set — is skipped.
+        # Interleaved A/B at sf0.1 (3 reps): 4.55-5.49 → 3.79-3.92 s,
+        # 25 → 23 scheduled jobs, identical label sums.
+        base = vertices.select(F.col(id_col).alias("node"))
+    elif vertices is not None:
+        endpoints = sym.select(F.col("u").alias("node")).distinct()
         base = (
             vertices.select(F.col(id_col).alias("node"))
             .union(endpoints)
             .distinct()
         )
     else:
-        base = endpoints
+        base = sym.select(F.col("u").alias("node")).distinct()
     nodes = base.persist(StorageLevel.MEMORY_AND_DISK)
     # ``broadcast_labels=None`` auto-gates on node count (the
     # triangle_stats wedge_bloom pattern); an explicit value pins the
@@ -1068,12 +1231,20 @@ def khop_levels(
     Level-synchronous frontier expansion — the textbook distributed BFS:
     each round joins ONLY the current frontier (not the visited set)
     against the edge list, anti-joins the visited set to drop
-    re-discoveries, and checkpoints both. The per-round shuffle volume is
-    proportional to the frontier's out-edge count, which for small k is
-    a tiny slice of the graph; the visited set grows monotonically and is
-    only ever the build side of an anti-join on the node key. Early-exits
-    when the frontier empties (one count per round, same probe budget as
-    the CC loop)."""
+    re-discoveries, and checkpoints the new frontier. The per-round
+    shuffle volume is proportional to the frontier's out-edge count,
+    which for small k is a tiny slice of the graph; the visited set
+    grows monotonically and is only ever the build side of an anti-join
+    on the node key.
+
+    Round-9 loop economics (the scheduled-job floor): the empty-frontier
+    probe rides an ``observe`` on the expansion checkpoint (the count
+    the old ``limit(1).count()`` re-scheduled a second action for), and
+    the visited set stays a LAZY union of the k checkpointed frontier
+    levels — unioning RDD scans is free, so the per-hop visited
+    checkpoint job is gone and the plan depth stays O(k), bounded by
+    the hop count. Interleaved A/B at sf0.1 (3 reps): 37 → 26 scheduled
+    jobs, wall 3.60-5.48 → 3.46-3.91 s, identical reach set."""
     # materialize the canonicalized edge list ONCE: each round's frontier
     # join (plus the empty-frontier probe) is a separate action, and
     # across actions Spark rebuilds the physical plan — without this
@@ -1092,21 +1263,25 @@ def khop_levels(
         .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     frontier = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
-    visited = frontier.select("node", F.lit(0).alias("min_hop")).localCheckpoint()
+    visited = frontier.select("node", F.lit(0).alias("min_hop"))
     for hop in range(1, k + 1):
+        obs = Observation()
         nxt = (
             e.join(frontier, e["s"] == frontier["node"])
             .select(F.col("d").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited.select("node"), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.limit(1).count() == 0:
+        # obs.get returns the row count the checkpoint job already
+        # computed — the empty-frontier early-exit costs no extra action
+        if obs.get["n"] == 0:
             break
-        visited = visited.union(
-            nxt.select("node", F.lit(hop).alias("min_hop"))
-        ).localCheckpoint()
+        visited = visited.union(nxt.select("node", F.lit(hop).alias("min_hop")))
         frontier = nxt
     return visited
 
