@@ -204,6 +204,28 @@ def _fold_sigmoid_prehashed(wv: Column, bias: Column, hs: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _fold_z(hs_list, warr: "np.ndarray", bb: float):
+    """The shared Arrow fold kernel: per-document left-to-right weight
+    accumulation via ``np.add.reduceat`` — strictly sequential, so every
+    intermediate double is bit-identical to the JVM HOF fold it
+    replaced (see :func:`_sigmoid_arrow`). Returns (z, flat, lens):
+    the per-doc logits plus the flattened bucket indices and per-doc
+    lengths the gradient kernel reuses."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in hs_list]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    total = int(lens.sum())
+    flat = np.concatenate(arrs) if total else np.empty(0, dtype=np.int64)
+    seg = lens + 1  # one slot for the bias seed per document
+    starts = np.zeros(len(seg), dtype=np.int64)
+    np.cumsum(seg[:-1], out=starts[1:])
+    buf = np.empty(int(seg.sum()), dtype=np.float64)
+    mask = np.ones(len(buf), dtype=bool)
+    mask[starts] = False
+    buf[starts] = bb
+    buf[mask] = warr[flat]
+    return np.add.reduceat(buf, starts), flat, lens
+
+
 def _sigmoid_arrow(w: list[float], b: float) -> "object":
     """Arrow-vectorized sigmoid over prehashed bucket arrays — the
     production twin of :func:`_fold_sigmoid_prehashed` (round 8).
@@ -233,24 +255,67 @@ def _sigmoid_arrow(w: list[float], b: float) -> "object":
     def _sig(hs: pd.Series) -> pd.Series:
         if hs.empty:
             return pd.Series([], dtype="float64")
-        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-        total = int(lens.sum())
-        flat = (
-            np.concatenate(arrs) if total else np.empty(0, dtype=np.int64)
-        )
-        seg = lens + 1  # one slot for the bias seed per document
-        starts = np.zeros(len(seg), dtype=np.int64)
-        np.cumsum(seg[:-1], out=starts[1:])
-        buf = np.empty(int(seg.sum()), dtype=np.float64)
-        mask = np.ones(len(buf), dtype=bool)
-        mask[starts] = False
-        buf[starts] = bb
-        buf[mask] = warr[flat]
-        z = np.add.reduceat(buf, starts)
+        z, _flat, _lens = _fold_z(hs, warr, bb)
         return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return _sig
+
+
+def _grad_map(hb: DataFrame, w: list[float], b: float, dim: int) -> DataFrame:
+    """Full GD gradient in ONE Arrow pass (round 9): per-task partial
+    gradients via ``np.bincount`` instead of the explode → groupBy
+    shuffle of every (doc, token) row. The kernel computes the residual
+    r = sigmoid(z) − y with the same :func:`_fold_z` fold (bit-identical
+    z), then
+
+    - bucket gradients: ``np.bincount(flat, weights=repeat(r, lens))``
+      accumulates r over occurrences in flat document/token order — the
+      SAME arrival order the old JVM partial hash-aggregate saw from the
+      explode, so per-partition partials are bit-identical when a
+      partition arrives as one Arrow batch (the case at every test SF:
+      ≤10k docs per partition vs the 10k-row batch default);
+    - bias gradient: ``np.add.reduceat(r, [0])`` — strictly sequential,
+      matching the old sentinel-bucket accumulation (ndarray.sum() is
+      pairwise and would NOT match).
+
+    With multiple batches per task the per-batch subtotals combine by
+    addition, an order change within the already-documented class:
+    gradient sums were partition-order-dependent before (Spark's final
+    merge order is nondeterministic), absorbed by the 6-dp grading
+    round. Emits one (dim, g) row per bucket per task (≤ (dim+1) ×
+    n_tasks rows, dim −1 = bias); the tiny groupBy-sum replaces the
+    token-scale explode shuffle. Plan delta: Generate + ArrowEvalPython
+    → one MapInPandas (plans/r09/train_logreg_hashed_*)."""
+    warr = np.asarray(w, dtype=np.float64)
+    bb = float(b)
+
+    def _partials(batches):
+        acc = np.zeros(dim + 1, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            z, flat, lens = _fold_z(pdf["hs"], warr, bb)
+            r = 1.0 / (1.0 + np.exp(-z)) - pdf["y"].to_numpy(dtype=np.float64)
+            if len(flat):
+                acc[:dim] += np.bincount(
+                    flat, weights=np.repeat(r, lens), minlength=dim
+                )
+            acc[dim] += np.add.reduceat(r, [0])[0]
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "dim": np.concatenate(([-1], np.arange(dim))),
+                    "g": np.concatenate(([acc[dim]], acc[:dim])),
+                }
+            )
+
+    return (
+        hb.mapInPandas(_partials, "dim int, g double")
+        .groupBy("dim")
+        .agg(F.sum("g").alias("g"))
+    )
 
 
 def _with_weights(
@@ -290,22 +355,14 @@ def _train_on_prehashed(
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        s = _sigmoid_arrow(w, b)(F.col("hs"))
-        # the appended -1 sentinel bucket per document makes the bias
-        # gradient (Σ_docs r) fall out of the SAME explode→groupBy as
-        # the bucket gradients — ONE job per iteration instead of two
-        # (−1 is outside the hash range, so no caller token-array
-        # precondition, unlike the former chr(1) pseudo-token)
-        d = hb.select(
-            F.concat(F.col("hs"), F.array(F.lit(-1))).alias("hs2"),
-            (s - F.col("y")).alias("r"),
-        )
-        grads = (
-            d.select(F.explode("hs2").alias("dim"), "r")
-            .groupBy("dim")
-            .agg(F.sum("r").alias("g"))
-            .collect()
-        )
+        # one MapInPandas pass computes residuals AND per-task partial
+        # gradients (round 9 — see _grad_map); the bias gradient rides
+        # as bucket −1, same contract as the former explode sentinel.
+        # Untouched buckets arrive with g = 0.0 exactly, so their
+        # update w − lr·(0.0/n) leaves the stored 0.0 bit-unchanged —
+        # the frozen artifact's untouched-bucket rows stay exactly 0.0
+        # on both engines, as before.
+        grads = _grad_map(hb, w, b, dim).collect()
         gm = {row["dim"]: row["g"] for row in grads}
         b = b - lr * (gm.pop(-1, 0.0) / n_docs)
         for dim_j, g_j in gm.items():
