@@ -86,6 +86,28 @@ def broadcast_node_gate(relations_per_round: int) -> int:
     return BROADCAST_NODE_ROUND_BUDGET // max(relations_per_round, 1)
 
 
+# PageRank's own broadcast gate (round-9 VERDICT directive #3: stop
+# reusing LPA's constant without accounting). Its posture forces TWO
+# node-scale relations per round (ranks into the contribution join,
+# contrib into the update join — the dangling mass is an observation
+# now, not a broadcast), so the MEMORY budget alone would allow
+# broadcast_node_gate(2) = 10M. Measured, the PERFORMANCE crossover
+# binds far earlier: the probe (tools/probe_pagerank_gate_r09.py, real
+# operator, fixed 8g heap, no OOM at any point) read, interleaved
+# real-graph A/Bs and synthetic hash-graphs of the same ~1.5-2
+# edges/node density:
+#   200k nodes (real sf0.1 seq graph):  bcast 4.1-4.9 s vs 5.7-6.3 s  WIN
+#   2M   nodes (real sf1 seq graph):    bcast 9.8-11.6 vs 12.5-13.7   WIN
+#   2M   nodes (synthetic):             22.9 vs 19.0                  ~par
+#   4M   nodes (synthetic):             34.2 vs 14.8                  LOSS
+#   8M   nodes (synthetic):             51.3 vs 21.7                  LOSS
+# The gate sits in the measured bracket (real win ≤2M, synthetic loss
+# ≥4M): per-round serial driver-side broadcast builds outgrow the
+# removed exchanges' parallel cost well before the heap does. Raw
+# probe numbers: BENCH_probes_r09.json.
+PAGERANK_BROADCAST_NODE_GATE = 3_000_000
+
+
 def wedge_bloom_bits(n_edges: int) -> int:
     """Bloom size in bits (power of two) for the census's closing-edge
     filter: ≥8 bits/edge (k=3 → ~3% FPR) from the activation gate up to
@@ -796,9 +818,10 @@ def pagerank(
       it (measured: the per-round anti-join variant was 2.2× slower at
       sf0.1, pure scheduling of the extra stages).
 
-    Round-8 posture gate (the LPA broadcast pattern, same constant):
+    Round-8 posture gate, re-sized in round 9 on its own measurements
+    (PAGERANK_BROADCAST_NODE_GATE — see the constant's probe table):
     while the rank table is broadcastable (``broadcast_ranks`` — auto:
-    node count ≤ LPA_BROADCAST_NODE_GATE), the weighted edge list is
+    node count ≤ PAGERANK_BROADCAST_NODE_GATE), the weighted edge list is
     partitioned by DESTINATION ``d`` at materialization and each round
     broadcasts the checkpointed ranks into the contribution join —
     ``HashPartitioning(d)`` then satisfies the ``groupBy(d)``
@@ -838,7 +861,7 @@ def pagerank(
     if broadcast_ranks is None:
         if vertices is not None and vertices_are_superset:
             n_upfront = vertices.select(F.col(id_col)).distinct().count()
-            bcast = n_upfront <= LPA_BROADCAST_NODE_GATE
+            bcast = n_upfront <= PAGERANK_BROADCAST_NODE_GATE
         else:
             bcast = False
     else:
