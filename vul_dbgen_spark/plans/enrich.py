@@ -25,6 +25,8 @@ without any window over a global ordering.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -62,9 +64,13 @@ def _first(cond: Column, value: Column, rank: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def build_distro_meta(os_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
-    """One row per (namespace, cve) key with the merged metadata
-    (updater.go:345-386)."""
+@lru_cache(maxsize=None)
+def _distro_meta_cols():
+    """Frozen Column trees for build_distro_meta, built once per
+    process (round 9): the enrich expression sets are pure functions of
+    the canonical schemas, and rebuilding them cost ~1k py4j round
+    trips per composed pipeline. An unresolved Column is
+    plan-independent — the same reuse contract as F.col."""
     cves = F.when(
         F.size(F.coalesce("cves", F.array())) > 0, F.col("cves")
     ).otherwise(
@@ -76,38 +82,28 @@ def build_distro_meta(os_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
             )
         )
     )
-    pairs = os_vulns.select(
-        "namespace",
+    pair_cols = [
+        F.col("namespace"),
         F.col("name").alias("vuln_name"),
-        "severity",
-        "issued_date",
-        "last_mod_date",
-        "description",
+        F.col("severity"),
+        F.col("issued_date"),
+        F.col("last_mod_date"),
+        F.col("description"),
         F.posexplode(cves).alias("cve_pos", "cve"),
-    )
+    ]
     rank = F.struct("vuln_name", "cve_pos")
-    merged = pairs.groupBy("namespace", F.col("cve.name").alias("cve")).agg(
+    group_cve = F.col("cve.name").alias("cve")
+    aggs = [
         _first(_score_set(F.col("cve.cvss_v3.score")), F.col("cve.cvss_v3"), rank).alias("feed_cvss_v3"),
         _first(_score_set(F.col("cve.cvss_v2.score")), F.col("cve.cvss_v2"), rank).alias("feed_cvss_v2"),
         _first(_sev_set(F.col("severity")), F.col("severity"), rank).alias("feed_severity"),
         _first(F.col("issued_date").isNotNull(), F.col("issued_date"), rank).alias("feed_published"),
         _first(F.col("last_mod_date").isNotNull(), F.col("last_mod_date"), rank).alias("feed_lastmod"),
         _first(_nonempty_s(F.col("description")), F.col("description"), rank).alias("feed_desc"),
-    )
-    nvd = F.broadcast(nvd_meta.select(
-        F.col("cve").alias("n_cve"),
-        F.col("cvss_v2").alias("n_cvss_v2"),
-        F.col("cvss_v3").alias("n_cvss_v3"),
-        F.col("severity").alias("n_severity"),
-        F.col("published_date").alias("n_published"),
-        F.col("last_modified_date").alias("n_lastmod"),
-        F.col("description").alias("n_desc"),
-        F.col("link").alias("n_link"),
-    ))
-    j = merged.join(nvd, merged["cve"] == nvd["n_cve"], "left")
-    return j.select(
-        "namespace",
-        "cve",
+    ]
+    out_cols = [
+        F.col("namespace"),
+        F.col("cve"),
         F.when(_score_set(F.col("n_cvss_v3.score")), F.col("n_cvss_v3"))
         .otherwise(F.col("feed_cvss_v3"))
         .alias("m_cvss_v3"),
@@ -124,50 +120,67 @@ def build_distro_meta(os_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
         .alias("m_desc"),
         # link comes only from NVD (enrichDistroMeta never sets it)
         F.col("n_link").alias("m_link"),
-    )
+    ]
+    return pair_cols, group_cve, aggs, out_cols
 
 
-def build_app_meta(app_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
-    """One row per bare-cve key (updater.go:388-425). Keys come from
-    ``[vul_name] + cves``."""
+_NVD_META_COLS_SRC = (
+    ("cve", "n_cve"),
+    ("cvss_v2", "n_cvss_v2"),
+    ("cvss_v3", "n_cvss_v3"),
+    ("severity", "n_severity"),
+    ("published_date", "n_published"),
+    ("last_modified_date", "n_lastmod"),
+    ("description", "n_desc"),
+    ("link", "n_link"),
+)
+
+
+@lru_cache(maxsize=None)
+def _nvd_meta_cols():
+    return [F.col(a).alias(b) for a, b in _NVD_META_COLS_SRC]
+
+
+def build_distro_meta(os_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
+    """One row per (namespace, cve) key with the merged metadata
+    (updater.go:345-386)."""
+    pair_cols, group_cve, aggs, out_cols = _distro_meta_cols()
+    pairs = os_vulns.select(*pair_cols)
+    merged = pairs.groupBy("namespace", group_cve).agg(*aggs)
+    nvd = F.broadcast(nvd_meta.select(*_nvd_meta_cols()))
+    j = merged.join(nvd, F.col("cve") == F.col("n_cve"), "left")
+    return j.select(*out_cols)
+
+
+@lru_cache(maxsize=None)
+def _app_meta_cols():
     keys = F.array_union(F.array(F.col("vul_name")), F.coalesce("cves", F.array()))
-    pairs = app_vulns.select(
-        "module_name",
-        "vul_name",
-        "severity",
+    pair_cols = [
+        F.col("module_name"),
+        F.col("vul_name"),
+        F.col("severity"),
         F.col("score").alias("score_v2"),
         F.col("vectors").alias("vectors_v2"),
-        "score_v3",
-        "vectors_v3",
-        "issued_date",
-        "last_mod_date",
-        "description",
+        F.col("score_v3"),
+        F.col("vectors_v3"),
+        F.col("issued_date"),
+        F.col("last_mod_date"),
+        F.col("description"),
         F.posexplode(keys).alias("cve_pos", "cve"),
-    )
+    ]
     rank = F.struct("module_name", "vul_name", "cve_pos")
     v3 = F.struct(F.col("vectors_v3").alias("vectors"), F.col("score_v3").alias("score"))
     v2 = F.struct(F.col("vectors_v2").alias("vectors"), F.col("score_v2").alias("score"))
-    merged = pairs.groupBy("cve").agg(
+    aggs = [
         _first(_score_set(F.col("score_v3")), v3, rank).alias("feed_cvss_v3"),
         _first(_score_set(F.col("score_v2")), v2, rank).alias("feed_cvss_v2"),
         _first(_sev_set(F.col("severity")), F.col("severity"), rank).alias("feed_severity"),
         _first(F.col("issued_date").isNotNull(), F.col("issued_date"), rank).alias("feed_published"),
         _first(F.col("last_mod_date").isNotNull(), F.col("last_mod_date"), rank).alias("feed_lastmod"),
         _first(_nonempty_s(F.col("description")), F.col("description"), rank).alias("feed_desc"),
-    )
-    nvd = F.broadcast(nvd_meta.select(
-        F.col("cve").alias("n_cve"),
-        F.col("cvss_v2").alias("n_cvss_v2"),
-        F.col("cvss_v3").alias("n_cvss_v3"),
-        F.col("severity").alias("n_severity"),
-        F.col("published_date").alias("n_published"),
-        F.col("last_modified_date").alias("n_lastmod"),
-        F.col("description").alias("n_desc"),
-        F.col("link").alias("n_link"),
-    ))
-    j = merged.join(nvd, merged["cve"] == nvd["n_cve"], "left")
-    return j.select(
-        "cve",
+    ]
+    out_cols = [
+        F.col("cve"),
         F.when(_score_set(F.col("n_cvss_v3.score")), F.col("n_cvss_v3"))
         .otherwise(F.col("feed_cvss_v3"))
         .alias("m_cvss_v3"),
@@ -183,7 +196,19 @@ def build_app_meta(app_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
         .otherwise(F.col("feed_desc"))
         .alias("m_desc"),
         F.col("n_link").alias("m_link"),
-    )
+    ]
+    return pair_cols, aggs, out_cols
+
+
+def build_app_meta(app_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
+    """One row per bare-cve key (updater.go:388-425). Keys come from
+    ``[vul_name] + cves``."""
+    pair_cols, aggs, out_cols = _app_meta_cols()
+    pairs = app_vulns.select(*pair_cols)
+    merged = pairs.groupBy("cve").agg(*aggs)
+    nvd = F.broadcast(nvd_meta.select(*_nvd_meta_cols()))
+    j = merged.join(nvd, F.col("cve") == F.col("n_cve"), "left")
+    return j.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -191,23 +216,17 @@ def build_app_meta(app_vulns: DataFrame, nvd_meta: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def assign_distro_metadata(os_vulns: DataFrame, distro_meta: DataFrame) -> DataFrame:
-    """updater.go:431-486: coalesce-fill each vuln from its CVEs' meta in
-    list order, recalibrate severity, severity-gate."""
+@lru_cache(maxsize=None)
+def _assign_distro_cols():
     cves = F.when(
         F.size(F.coalesce("cves", F.array())) > 0, F.transform("cves", lambda c: c["name"])
     ).otherwise(F.array(F.col("name")))
-    exploded = os_vulns.withColumn("vid", F.monotonically_increasing_id()).select(
-        "*", F.posexplode(cves).alias("cve_pos", "cve_key")
-    )
-    m = distro_meta.withColumnRenamed("namespace", "m_namespace").withColumnRenamed("cve", "m_cve")
-    j = exploded.join(
-        m,
-        (exploded["namespace"] == m["m_namespace"]) & (exploded["cve_key"] == m["m_cve"]),
-        "left",
+    explode_col = F.posexplode(cves).alias("cve_pos", "cve_key")
+    join_cond = (F.col("namespace") == F.col("m_namespace")) & (
+        F.col("cve_key") == F.col("m_cve")
     )
     rank = F.col("cve_pos")
-    filled = j.groupBy("vid").agg(
+    aggs = [
         *[F.min_by(c, "cve_pos").alias(c) for c in OS_VULNS.fieldNames()],
         _first(F.col("m_published").isNotNull(), F.col("m_published"), rank).alias("f_published"),
         _first(F.col("m_lastmod").isNotNull(), F.col("m_lastmod"), rank).alias("f_lastmod"),
@@ -216,16 +235,16 @@ def assign_distro_metadata(os_vulns: DataFrame, distro_meta: DataFrame) -> DataF
         _first(_score_set(F.col("m_cvss_v3.score")), F.col("m_cvss_v3"), rank).alias("f_cvss_v3"),
         _first(_score_set(F.col("m_cvss_v2.score")), F.col("m_cvss_v2"), rank).alias("f_cvss_v2"),
         _first(_sev_set(F.col("m_severity")), F.col("m_severity"), rank).alias("f_severity"),
-    )
+    ]
     v3 = F.when(_score_set(F.col("cvss_v3.score")), F.col("cvss_v3")).otherwise(F.col("f_cvss_v3"))
     v2 = F.when(_score_set(F.col("cvss_v2.score")), F.col("cvss_v2")).otherwise(F.col("f_cvss_v2"))
     base_sev = F.when(_sev_set(F.col("severity")), F.col("severity")).otherwise(F.col("f_severity"))
     sev, s2, s3 = fix_severity_score(
         base_sev, F.coalesce(v2["score"], F.lit(0.0)), F.coalesce(v3["score"], F.lit(0.0))
     )
-    out = filled.select(
-        "name",
-        "namespace",
+    out_cols = [
+        F.col("name"),
+        F.col("namespace"),
         F.when(_nonempty_s(F.col("description")), F.col("description"))
         .otherwise(F.col("f_desc"))
         .alias("description"),
@@ -235,24 +254,35 @@ def assign_distro_metadata(os_vulns: DataFrame, distro_meta: DataFrame) -> DataF
         F.struct(v3["vectors"].alias("vectors"), s3.alias("score")).alias("cvss_v3"),
         F.coalesce("issued_date", "f_published").alias("issued_date"),
         F.coalesce("last_mod_date", "f_lastmod").alias("last_mod_date"),
-        "cves",
-        "fixed_in",
-        "cpes",
-        "feed_rating",
+        F.col("cves"),
+        F.col("fixed_in"),
+        F.col("cpes"),
+        F.col("feed_rating"),
+    ]
+    gate = F.col("severity").isin(KEPT_SEVERITIES)
+    return explode_col, join_cond, aggs, out_cols, gate
+
+
+def assign_distro_metadata(os_vulns: DataFrame, distro_meta: DataFrame) -> DataFrame:
+    """updater.go:431-486: coalesce-fill each vuln from its CVEs' meta in
+    list order, recalibrate severity, severity-gate."""
+    explode_col, join_cond, aggs, out_cols, gate = _assign_distro_cols()
+    exploded = os_vulns.withColumn("vid", F.monotonically_increasing_id()).select(
+        "*", explode_col
     )
-    return out.filter(F.col("severity").isin(KEPT_SEVERITIES))
+    m = distro_meta.withColumnRenamed("namespace", "m_namespace").withColumnRenamed("cve", "m_cve")
+    j = exploded.join(m, join_cond, "left")
+    filled = j.groupBy("vid").agg(*aggs)
+    return filled.select(*out_cols).filter(gate)
 
 
-def assign_app_metadata(app_vulns: DataFrame, app_meta: DataFrame) -> DataFrame:
-    """updater.go:488-542 for app records (bare-cve keys)."""
+@lru_cache(maxsize=None)
+def _assign_app_cols():
     keys = F.array_union(F.array(F.col("vul_name")), F.coalesce("cves", F.array()))
-    exploded = app_vulns.withColumn("vid", F.monotonically_increasing_id()).select(
-        "*", F.posexplode(keys).alias("cve_pos", "cve_key")
-    )
-    m = app_meta.withColumnRenamed("cve", "m_cve")
-    j = exploded.join(m, exploded["cve_key"] == m["m_cve"], "left")
+    explode_col = F.posexplode(keys).alias("cve_pos", "cve_key")
+    join_cond = F.col("cve_key") == F.col("m_cve")
     rank = F.col("cve_pos")
-    filled = j.groupBy("vid").agg(
+    aggs = [
         *[F.min_by(c, "cve_pos").alias(c) for c in APP_VULNS.fieldNames()],
         _first(F.col("m_published").isNotNull(), F.col("m_published"), rank).alias("f_published"),
         _first(F.col("m_lastmod").isNotNull(), F.col("m_lastmod"), rank).alias("f_lastmod"),
@@ -260,7 +290,7 @@ def assign_app_metadata(app_vulns: DataFrame, app_meta: DataFrame) -> DataFrame:
         _first(_nonempty_s(F.col("m_link")), F.col("m_link"), rank).alias("f_link"),
         _first(_score_set(F.col("m_cvss_v3.score")), F.col("m_cvss_v3"), rank).alias("f_cvss_v3"),
         _first(_score_set(F.col("m_cvss_v2.score")), F.col("m_cvss_v2"), rank).alias("f_cvss_v2"),
-    )
+    ]
     v3_struct = F.struct(F.col("vectors_v3").alias("vectors"), F.col("score_v3").alias("score"))
     v2_struct = F.struct(F.col("vectors").alias("vectors"), F.col("score").alias("score"))
     v3 = F.when(_score_set(F.col("score_v3")), v3_struct).otherwise(F.col("f_cvss_v3"))
@@ -273,12 +303,12 @@ def assign_app_metadata(app_vulns: DataFrame, app_meta: DataFrame) -> DataFrame:
         F.coalesce(v2["score"], F.lit(0.0)),
         F.coalesce(v3["score"], F.lit(0.0)),
     )
-    out = filled.select(
-        "vul_name",
-        "app_name",
-        "module_name",
-        "import_paths",
-        "symbols",
+    out_cols = [
+        F.col("vul_name"),
+        F.col("app_name"),
+        F.col("module_name"),
+        F.col("import_paths"),
+        F.col("symbols"),
         F.when(_nonempty_s(F.col("description")), F.col("description"))
         .otherwise(F.col("f_desc"))
         .alias("description"),
@@ -288,14 +318,27 @@ def assign_app_metadata(app_vulns: DataFrame, app_meta: DataFrame) -> DataFrame:
         s3.alias("score_v3"),
         v3["vectors"].alias("vectors_v3"),
         sev.alias("severity"),
-        "affected_ver",
-        "fixed_ver",
-        "unaffected_ver",
+        F.col("affected_ver"),
+        F.col("fixed_ver"),
+        F.col("unaffected_ver"),
         F.coalesce("issued_date", "f_published").alias("issued_date"),
         F.coalesce("last_mod_date", "f_lastmod").alias("last_mod_date"),
-        "cves",
+        F.col("cves"),
+    ]
+    gate = F.col("severity").isin(KEPT_SEVERITIES)
+    return explode_col, join_cond, aggs, out_cols, gate
+
+
+def assign_app_metadata(app_vulns: DataFrame, app_meta: DataFrame) -> DataFrame:
+    """updater.go:488-542 for app records (bare-cve keys)."""
+    explode_col, join_cond, aggs, out_cols, gate = _assign_app_cols()
+    exploded = app_vulns.withColumn("vid", F.monotonically_increasing_id()).select(
+        "*", explode_col
     )
-    return out.filter(F.col("severity").isin(KEPT_SEVERITIES))
+    m = app_meta.withColumnRenamed("cve", "m_cve")
+    j = exploded.join(m, join_cond, "left")
+    filled = j.groupBy("vid").agg(*aggs)
+    return filled.select(*out_cols).filter(gate)
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +357,18 @@ def correct_app_affected_version(app_vulns: DataFrame, nvd_meta: DataFrame) -> D
     nvd = F.broadcast(
         nvd_meta.select(F.col("cve").alias("n_cve"), F.col("vuln_versions").alias("n_vv"))
     )
-    j = app_vulns.join(nvd, app_vulns["vul_name"] == nvd["n_cve"], "left")
+    j = app_vulns.join(nvd, F.col("vul_name") == F.col("n_cve"), "left")
+    aff_col, fix_col = _affected_version_cols()
+    out = j.withColumn("affected_ver", aff_col).withColumn("fixed_ver", fix_col)
+    return out.drop("n_cve", "n_vv")
+
+
+@lru_cache(maxsize=None)
+def _affected_version_cols():
+    """Frozen backfill Columns for correct_app_affected_version (round
+    9): the nested positional-lambda HOF tree costs ~35 ms of py4j
+    round trips per lambda to build and the whole set is a pure
+    function of the canonical column names — built once per process."""
     vv = F.coalesce("n_vv", F.array())
 
     def or_(i):
@@ -367,18 +421,13 @@ def correct_app_affected_version(app_vulns: DataFrame, nvd_meta: DataFrame) -> D
         F.size(F.coalesce("fixed_ver", F.array())) == 0
     )
     found = F.size(vv) > 0
-    out = j.withColumn(
-        "affected_ver",
-        F.when(
-            needs & found & (F.size(F.coalesce("affected_ver", F.array())) == 0), affects
-        ).otherwise(F.col("affected_ver")),
-    ).withColumn(
-        "fixed_ver",
-        F.when(
-            needs & found & (F.size(F.coalesce("fixed_ver", F.array())) == 0), fixes
-        ).otherwise(F.col("fixed_ver")),
-    )
-    return out.drop("n_cve", "n_vv")
+    aff_col = F.when(
+        needs & found & (F.size(F.coalesce("affected_ver", F.array())) == 0), affects
+    ).otherwise(F.col("affected_ver"))
+    fix_col = F.when(
+        needs & found & (F.size(F.coalesce("fixed_ver", F.array())) == 0), fixes
+    ).otherwise(F.col("fixed_ver"))
+    return aff_col, fix_col
 
 
 # ---------------------------------------------------------------------------

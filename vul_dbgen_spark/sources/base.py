@@ -43,9 +43,38 @@ def version_is_parseable(col: Column) -> Column:
     ) | s.isin(MINV, MAXV)
 
 
-def read_wholetext(spark: SparkSession, path: str) -> DataFrame:
-    """One row per file: (path, value). Distributed text read."""
-    return spark.read.text(path, wholetext=True).withColumn("path", F.input_file_name())
+def read_wholetext(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """One row per file: (path, value). Distributed text read; accepts a
+    path list so multi-file sources scan once (one plan) instead of
+    building one plan per file."""
+    return spark.read.text(path, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+
+
+# Memoized SQL-string map literals (round 9, the similarity-module
+# _cached_expr pattern applied to the source parsers): a k-entry
+# F.create_map(*[F.lit(x) ...]) costs ~2k+1 py4j round trips PER CALL
+# and the pipeline's build phase is round-trip-bound (measured: the
+# whole composed build is ~2.2k RPCs/source × ~0.35 ms). The SQL text
+# parses to the identical CreateMap(Literal…) expression in ONE RPC,
+# and an unresolved Column is plan-independent, so one cached instance
+# serves every plan that uses the same (frozen, module-level) dict.
+_MAP_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def map_literal(m: dict[str, str]) -> Column:
+    key = tuple(m.items())
+    col = _MAP_EXPR_CACHE.get(key)
+    if col is None:
+        body = ", ".join(f"{_sql_str(k)}, {_sql_str(v)}" for k, v in m.items())
+        col = F.expr(f"map({body})")
+        _MAP_EXPR_CACHE[key] = col
+    return col
 
 
 def exists(source_root: str, rel: str) -> bool:
@@ -58,15 +87,27 @@ def empty_os_vulns(spark: SparkSession) -> DataFrame:
 
 def conform(df: DataFrame, schema) -> DataFrame:
     """Project/pad/cast to a canonical schema (also normalizes the
-    nullability flags Spark infers from literals/structs)."""
+    nullability flags Spark infers from literals/structs).
+
+    Built as ONE selectExpr call (round 9): the per-field
+    F.col/F.lit → .cast → .alias chain cost ~150 py4j round trips per
+    source and conform runs in every parser's tail — the SQL strings
+    are assembled Python-side and parse to the identical Cast/Alias
+    expressions in a single RPC batch. ``simpleString`` round-trips
+    every canonical type (struct/array included) through the DDL
+    parser."""
     present = set(df.columns)
-    cols = []
-    for f in schema.fields:
-        c = F.col(f.name) if f.name in present else F.lit(None)
-        cols.append(c.cast(f.dataType).alias(f.name))
+    exprs = [
+        (
+            f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+            if f.name in present
+            else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+        )
+        for f in schema.fields
+    ]
     # .to() relaxes nullability so every source emits the byte-identical
     # canonical schema regardless of literal inference
-    return df.select(*cols).to(schema)
+    return df.selectExpr(*exprs).to(schema)
 
 
 def finish_os_vulns(df: DataFrame) -> DataFrame:

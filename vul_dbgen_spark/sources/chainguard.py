@@ -28,64 +28,69 @@ from .govuln import load_osv_dir
 
 CVE_LINK_PREFIX = "https://cve.mitre.org/cgi-bin/cvename.cgi?name="
 
+# Round 9: the nested HOF expression tree below cost ~1.2k py4j round
+# trips per build and the SAME function serves two sources (wolfi +
+# chainguard) — the frozen SQL texts parse to the identical
+# ArrayDistinct/ArrayFilter/ArrayTransform trees in a handful of RPCs
+# and are cached per (ecosystem, namespace). The lambda identifiers and
+# null semantics are 1:1 with the old builder chain (x -> x.y = 'v'
+# null-propagates exactly like Column ==; CASE WHEN without ELSE is
+# F.when without otherwise). The final version_is_parseable filter
+# stays the shared Python helper — one source of truth for the dpkg
+# version predicate.
+_EXPR_CACHE: dict[tuple, F.Column] = {}
+
+
+def _osv_exprs(ecosystem: str, namespace: str) -> tuple[F.Column, F.Column]:
+    key = (ecosystem, namespace)
+    got = _EXPR_CACHE.get(key)
+    if got is None:
+        cves = F.expr(
+            "array_distinct(filter(coalesce(upstream, array()),"
+            " u -> startswith(u, 'CVE-'))) AS cves"
+        )
+        fixed = F.expr(
+            "array_distinct(flatten(transform("
+            f" filter(affected, a -> a.package.ecosystem = '{ecosystem}'),"
+            " a -> flatten(transform("
+            "   filter(coalesce(a.ranges, array()), r -> r.type = 'ECOSYSTEM'),"
+            "   r -> filter(transform("
+            "     coalesce(r.events, array()),"
+            "     e -> CASE WHEN coalesce(e.fixed, '') != '' THEN struct("
+            "       a.package.name AS name,"
+            f"      '{namespace}' AS namespace,"
+            "       e.fixed AS version,"
+            "       CAST(NULL AS string) AS min_ver) END),"
+            "     x -> x IS NOT NULL)))"
+            ")))"
+        )
+        got = (cves, fixed)
+        _EXPR_CACHE[key] = got
+    return got
+
 
 def load_chainguard_osv(
     spark: SparkSession, source_root: str, ecosystem: str, namespace: str
 ) -> DataFrame:
     osv = load_osv_dir(spark, os.path.join(source_root, "chainguard", "osv-v2", "*.json"))
-    cves = F.array_distinct(
-        F.filter(F.coalesce("upstream", F.array()), lambda u: u.startswith("CVE-"))
-    )
-    rows = (
-        osv.select(
-            "id",
-            "published",
-            "modified",
-            cves.alias("cves"),
-            F.coalesce("affected", F.array()).alias("affected"),
-        )
-        .filter(F.size("cves") > 0)
-    )
+    cves, fixed = _osv_exprs(ecosystem, namespace)
+    rows = osv.select(
+        "id",
+        "published",
+        "modified",
+        cves,
+        F.coalesce("affected", F.array()).alias("affected"),
+    ).filter("size(cves) > 0")
     # fixed versions: ECOSYSTEM ranges of matching-ecosystem packages,
     # in document order, deduped by (pkg, version)
-    fixed = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.filter("affected", lambda a: a["package"]["ecosystem"] == ecosystem),
-                lambda a: F.flatten(
-                    F.transform(
-                        F.filter(
-                            F.coalesce(a["ranges"], F.array()),
-                            lambda r: r["type"] == "ECOSYSTEM",
-                        ),
-                        lambda r: F.filter(
-                            F.transform(
-                                F.coalesce(r["events"], F.array()),
-                                lambda e: F.when(
-                                    F.coalesce(e["fixed"], F.lit("")) != "",
-                                    F.struct(
-                                        a["package"]["name"].alias("name"),
-                                        F.lit(namespace).alias("namespace"),
-                                        e["fixed"].alias("version"),
-                                        F.lit(None).cast("string").alias("min_ver"),
-                                    ),
-                                ),
-                            ),
-                            lambda x: x.isNotNull(),
-                        ),
-                    )
-                ),
-            )
-        )
-    )
     rows = rows.withColumn(
         "fixed_in",
         F.filter(fixed, lambda f: version_is_parseable(f["version"])),
-    ).filter(F.size("fixed_in") > 0)
-    out = rows.select(
-        F.explode("cves").alias("name"),
-        F.col("published").alias("issued_date"),
-        F.col("modified").alias("last_mod_date"),
+    ).filter("size(fixed_in) > 0")
+    out = rows.selectExpr(
+        "explode(cves) AS name",
+        "published AS issued_date",
+        "modified AS last_mod_date",
         "fixed_in",
     ).withColumn("link", F.concat(F.lit(CVE_LINK_PREFIX), F.col("name")))
     return finish_os_vulns(out)

@@ -106,6 +106,27 @@ _LINE_SCHEMA = T.StructType(
 )
 
 
+# Round 9: the per-file projection is built SIX times per composed
+# pipeline (one per ecosystem file) and its F.*-chain construction cost
+# ~200 py4j round trips each — the SQL texts below are assembled
+# Python-side (pure string work) and parse to the identical
+# expression trees in one selectExpr batch per file. The two
+# range-parser columns stay Python (ghsa_version_terms is the shared
+# vectorized Arrow UDF — one source of truth), attached from the raw
+# strings the selectExpr passes through.
+_CVES_SQL = (
+    "transform(filter(coalesce(r.advisory.identifiers, array()),"
+    " i -> i.type = 'CVE'), i -> i.value)"
+)
+_VECTORS_SQL = "coalesce(r.advisory.cvss.vectorString, '')"
+_IS_V3_SQL = f"startswith({_VECTORS_SQL}, 'CVSS:3')"
+
+
+def _sev_map_sql() -> str:
+    body = ", ".join(f"'{k}', '{v}'" for k, v in SEVERITY_MAP.items())
+    return f"map({body})"
+
+
 def _load_file(spark: SparkSession, path: str, app: str, prefix: str, lowercase: bool) -> DataFrame:
     lines = (
         spark.read.text(path)
@@ -114,40 +135,39 @@ def _load_file(spark: SparkSession, path: str, app: str, prefix: str, lowercase:
         .select("line_order", F.from_json("value", _LINE_SCHEMA).alias("r"))
         .filter(F.col("r").isNotNull())
     )
-    sev_map = F.create_map(*[F.lit(x) for kv in SEVERITY_MAP.items() for x in kv])
-    cves = F.transform(
-        F.filter(F.coalesce("r.advisory.identifiers", F.array()), lambda i: i["type"] == "CVE"),
-        lambda i: i["value"],
-    )
-    vul_name = F.coalesce(
-        F.try_element_at(cves, F.lit(1)),
-        F.when(F.coalesce(F.col("r.advisory.ghsaId"), F.lit("")) != "", F.col("r.advisory.ghsaId")),
-        F.try_element_at("r.advisory.cwes.nodes", F.lit(1))["cweid"],
-    )
-    module = F.concat(F.lit(prefix), F.col("r.package.name"))
+    app_sql = app.replace("'", "\\'")
+    prefix_sql = prefix.replace("'", "\\'")
+    module_sql = f"concat('{prefix_sql}', r.package.name)"
     if lowercase:
-        module = F.lower(module)
-    vectors = F.coalesce("r.advisory.cvss.vectorString", F.lit(""))
-    is_v3 = vectors.startswith("CVSS:3")
-    return lines.select(
+        module_sql = f"lower({module_sql})"
+    base = lines.selectExpr(
         "line_order",
-        vul_name.alias("vul_name"),
-        F.lit(app).alias("app_name"),
-        module.alias("module_name"),
-        cves.alias("cves"),
-        F.concat_ws(
-            "", F.col("r.advisory.summary"), F.lit("\n"), F.col("r.advisory.description"), F.lit("\n")
-        ).alias("description"),
-        F.col("r.advisory.permalink").alias("link"),
-        sev_map[F.lower("r.advisory.severity")].alias("severity"),
-        F.when(~is_v3 & (vectors != ""), F.col("r.advisory.cvss.score")).alias("score"),
-        F.when(~is_v3 & (vectors != ""), vectors).alias("vectors"),
-        F.when(is_v3, F.col("r.advisory.cvss.score")).alias("score_v3"),
-        F.when(is_v3, vectors).alias("vectors_v3"),
-        F.col("r.advisory.publishedAt").alias("issued_date"),
-        F.col("r.advisory.updatedAt").alias("last_mod_date"),
-        ghsa_version_terms("r.vulnerableVersionRange").alias("aff_terms"),
-        ghsa_version_terms("r.firstPatchedVersion.identifier").alias("fix_terms"),
+        f"coalesce(try_element_at({_CVES_SQL}, 1),"
+        " CASE WHEN coalesce(r.advisory.ghsaId, '') != ''"
+        " THEN r.advisory.ghsaId END,"
+        " try_element_at(r.advisory.cwes.nodes, 1).cweid) AS vul_name",
+        f"'{app_sql}' AS app_name",
+        f"{module_sql} AS module_name",
+        f"{_CVES_SQL} AS cves",
+        "concat_ws('', r.advisory.summary, '\\n',"
+        " r.advisory.description, '\\n') AS description",
+        "r.advisory.permalink AS link",
+        f"{_sev_map_sql()}[lower(r.advisory.severity)] AS severity",
+        f"CASE WHEN NOT {_IS_V3_SQL} AND {_VECTORS_SQL} != ''"
+        " THEN r.advisory.cvss.score END AS score",
+        f"CASE WHEN NOT {_IS_V3_SQL} AND {_VECTORS_SQL} != ''"
+        f" THEN {_VECTORS_SQL} END AS vectors",
+        f"CASE WHEN {_IS_V3_SQL} THEN r.advisory.cvss.score END AS score_v3",
+        f"CASE WHEN {_IS_V3_SQL} THEN {_VECTORS_SQL} END AS vectors_v3",
+        "r.advisory.publishedAt AS issued_date",
+        "r.advisory.updatedAt AS last_mod_date",
+        "r.vulnerableVersionRange AS __aff_raw",
+        "r.firstPatchedVersion.identifier AS __fix_raw",
+    )
+    return (
+        base.withColumn("aff_terms", ghsa_version_terms("__aff_raw"))
+        .withColumn("fix_terms", ghsa_version_terms("__fix_raw"))
+        .drop("__aff_raw", "__fix_raw")
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from . import register_app
 from .app_base import finish_app_vulns
-from .base import read_wholetext
+from .base import map_literal, read_wholetext
 
 _NAME = '">([A-Z0-9-]*)</a><br>'
 _AFFECTED = "<br>Vulnerable: ([0-9a-zA-Z\\s/.\\-,]*)"
@@ -50,7 +50,7 @@ def load(spark: SparkSession, source_root: str) -> DataFrame:
         raise FileNotFoundError(f"no nginx page at {pattern}")
     raw = read_wholetext(spark, pattern)
     chunks = raw.select(F.explode(F.split("value", "</p></li>")).alias("chunk"))
-    sev_map = F.create_map(*[F.lit(x) for kv in SEVERITY_MAP.items() for x in kv])
+    sev_map = map_literal(SEVERITY_MAP)
     parsed = chunks.select(
         F.regexp_extract("chunk", _NAME, 1).alias("name"),
         F.regexp_extract("chunk", _DESCRIPTION, 1).alias("description"),

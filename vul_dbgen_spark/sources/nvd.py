@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import register_meta
+from .base import map_literal
 
 CVE_LINK_PREFIX = "https://cve.mitre.org/cgi-bin/cvename.cgi?name="
 
@@ -134,7 +135,7 @@ _SEVERITY_WORDS = {"LOW": "Low", "MEDIUM": "Medium", "HIGH": "High", "CRITICAL":
 
 
 def _to_severity(col):
-    m = F.create_map(*[F.lit(x) for kv in _SEVERITY_WORDS.items() for x in kv])
+    m = map_literal(_SEVERITY_WORDS)
     return F.coalesce(m[col], F.lit(""))
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import register_app
 from .app_base import finish_app_vulns
-from .base import read_wholetext
+from .base import map_literal, read_wholetext
 
 SEVERITY_MAP = {"Critical": "Critical", "High": "High", "Moderate": "Medium", "Low": "Low"}
 
@@ -45,7 +45,7 @@ def load(spark: SparkSession, source_root: str) -> DataFrame:
     chunks = raw.select(F.posexplode(F.split("value", "h3 id")).alias("pos", "chunk")).filter(
         F.col("pos") > 0
     )
-    sev_map = F.create_map(*[F.lit(x) for kv in SEVERITY_MAP.items() for x in kv])
+    sev_map = map_literal(SEVERITY_MAP)
     parsed = chunks.select(
         F.regexp_extract("chunk", _CVE_NAME, 2).alias("cve_number"),
         F.regexp_extract("chunk", _CVE_LINK, 1).alias("link_raw"),

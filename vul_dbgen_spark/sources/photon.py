@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import register_distro
-from .base import MAXV, finish_os_vulns, version_is_parseable
+from .base import MAXV, finish_os_vulns, map_literal, version_is_parseable
 
 ALTERNATE_PACKAGE_NAMES = {"expat": "expat-libs"}  # photon.go:29-32
 
@@ -67,9 +67,7 @@ def load(spark: SparkSession, source_root: str) -> DataFrame:
         F.when(version_is_parseable(F.col("version")), F.col("version")).otherwise(F.lit("")),
     )
 
-    alt = F.create_map(
-        *[F.lit(x) for kv in ALTERNATE_PACKAGE_NAMES.items() for x in kv]
-    )
+    alt = map_literal(ALTERNATE_PACKAGE_NAMES)
     fv = F.struct(
         F.col("pkg").alias("name"),
         F.col("namespace"),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import register_distro
-from .base import finish_os_vulns, version_is_parseable
+from .base import finish_os_vulns, map_literal, version_is_parseable
 
 SEVERITY_MAP = {"Critical": "Critical", "Important": "High", "Moderate": "Medium"}
 
@@ -105,7 +105,7 @@ def load(spark: SparkSession, source_root: str) -> DataFrame:
         raise FileNotFoundError(f"no Rocky apollo dump under {pattern}")
     doc = spark.read.schema(_SCHEMA).option("multiLine", True).json(pattern)
     adv = doc.select(F.explode("advisories").alias("a"))
-    sev_map = F.create_map(*[F.lit(x) for kv in SEVERITY_MAP.items() for x in kv])
+    sev_map = map_literal(SEVERITY_MAP)
     pkgs = adv.select(
         F.col("a.name").alias("name"),
         F.col("a.description").alias("description"),
