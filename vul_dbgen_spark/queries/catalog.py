@@ -9485,22 +9485,30 @@ GRADED_WINDOW: list[str] = [
     "dedup_embedding_clusters",
     "train_logreg_hashed",
     "score_auc_trained_eval",
+    # round-9 OPTIMIZATION plan-changed entries (anchor policy): the
+    # connected-components label loop gained the broadcast-hook posture
+    # and the superset-vertices waiver, so every CC consumer must be
+    # driver-graded. In place of three green-r8 analytics reps whose
+    # operators are unchanged this round (cohort_retention,
+    # hist_order_totals, monthly_revenue_growth — each holds a green
+    # CORRECTNESS_r08 driver row; the SQL-analytics family keeps many
+    # graded members).
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dedup_keep_canonical",
     "bpe_compression_eval",
     "bpe_vocab_counts",
     "cluster_prototypes_topk",
-    "cohort_retention",
     "curation_pipeline_counts",
     "dq_expectations",
     "embedding_label_centroid",
     "fk_integrity_audit",
     "funnel_user_conversion",
     "hard_negatives_ivf",
-    "hist_order_totals",
     "islands_user_streaks",
     "json_props_stats",
     "k_anonymity_audit",
     "lateral_topn_orders",
-    "monthly_revenue_growth",
     "ngram_novelty_curve",
     "order_gap_stats",
     "outliers_mad_events",
@@ -9524,46 +9532,28 @@ GRADED_WINDOW: list[str] = [
 # round 6 is exactly what it prevents); tests/test_window.py asserts
 # containment, so forgetting the window update fails CI, not the judge.
 PLAN_CHANGED_THIS_ROUND: list[str] = [
-    # round 8:
-    # broadcast gate 20M -> 10M (two concurrent node-scale hashed
-    # relations per round, round-8 ADVICE) AND the past-gate posture
-    # reverts to the union-seed argmax instead of a second shuffled
-    # O(nodes) keep-current join per round
-    "graph_label_propagation",
-    # BOTH wrappers of kmeans.semdedup_routed_incremental: the operator
-    # now persists the prepped corpus in the delta_slices>1 posture so
-    # slices re-read cache instead of re-running the routing argmin
-    # (round-8 ADVICE); the policy is entry-level, so every catalog
-    # entry over a changed operator stays graded
-    "semdedup_routed_incremental",
-    "semdedup_routed_incremental_bulk",
-    # round-8 OPTIMIZATION phase:
-    # pagerank gained the gated broadcast posture (d-partitioned edge
-    # cache + per-round rank/contribution broadcasts + lazy interior
-    # checkpoints)
-    "graph_pagerank_parts",
-    # _seq_edges/_cooc_edges dropped their redundant trailing distinct
-    # (consumers dedup internally) — plan change for every edge-helper
-    # consumer; the rcte twin gained the call-site distinct
-    "graph_khop_reach",
-    "graph_khop_reach_rcte",
-    # triangle census consumes the non-deduped helper (its own
-    # canonical distinct now does the only dedup)
-    "graph_triangle_stats",
-    # LPA argmax switched to the packed-long primitive max
-    # (HashAggregate) under the id-range gate — graph_label_propagation
-    # already listed above
-    # embedding LSH: band table persisted (signature matmul once, not
-    # per join side) + single-eval cosine (no filter-pushdown UDF
-    # duplication)
-    "dedup_embedding_lsh",
+    # round 9 (optimization round 2):
+    # connected_components(label): gated broadcast-hook posture
+    # (v-partitioned edges, broadcast neighbor-min/jump) + the
+    # superset-vertices waiver — every CC consumer's plan changed
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dedup_keep_canonical",
     "dedup_embedding_clusters",
-    # hashed-logreg trainer: the per-pass sigmoid fold moved from the
-    # interpreted JVM HOF to the Arrow reduceat kernel (_sigmoid_arrow,
-    # order-preserving — graded output verified byte-identical on every
-    # test SF); both entries over the trainer stay graded
+    # khop_levels: observe-count early exit + lazy visited union
+    "graph_khop_reach",
+    # pagerank: observed dangling mass (no per-round dang subplan) +
+    # the gate re-sized onto PAGERANK_BROADCAST_NODE_GATE
+    "graph_pagerank_parts",
+    # label_propagation: superset-vertices waiver (node derivation)
+    "graph_label_propagation",
+    # hashed-logreg: gradient explode -> one MapInPandas bincount pass
     "train_logreg_hashed",
     "score_auc_trained_eval",
+    # composed pipeline: conform/namespacing/parser plan construction
+    # rebuilt as cached SQL texts (executed plans identical; the entry
+    # stays graded because its build path changed)
+    "pipeline_e2e",
 ]
 
 
